@@ -1,0 +1,186 @@
+"""Checkpoint compatibility: legacy-key remap and PyTorch state_dict interop.
+
+Mirrors the reference's compatibility loader
+(/root/reference/src/foundation_stereo_depth/model.py:8-29):
+- legacy single-head checkpoints name the disparity head ``output_head`` ->
+  renamed to ``disparity_head``;
+- checkpoints without a ``logvar_head`` get one synthesized from fresh init;
+- loading is non-strict, returning (missing_keys, unexpected_keys).
+
+Additionally provides torch<->flax weight conversion so PyTorch ``.pt``
+checkpoints from the reference can be served by this framework (and golden
+parity tests can share weights):
+- Conv2d   (O, I, kH, kW)  -> flax Conv kernel (kH, kW, I, O)
+- ConvT2d  (I, O, kH, kW)  -> flax ConvTranspose kernel, spatially flipped,
+                              (kH, kW, I, O) — torch's transposed conv is the
+                              gradient of a correlation, lax.conv_transpose is
+                              zero-insertion + correlation, hence the flip
+- BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+# Blocks that contain two (conv, bn) pairs, named as in the flax model.
+_CONV_BLOCKS = (
+    "enc1", "enc2", "enc3", "enc4", "bottleneck", "dec4", "dec3", "dec2", "dec1",
+)
+_UPS = ("up4", "up3", "up2", "up1")
+_HEADS = ("disparity_head", "logvar_head")
+
+
+def apply_legacy_renames(state_dict: dict[str, Any]) -> dict[str, Any]:
+    """Rename legacy ``output_head.*`` -> ``disparity_head.*`` (non-destructive)."""
+    mapped = dict(state_dict)
+    if "output_head.weight" in mapped and "disparity_head.weight" not in mapped:
+        mapped["disparity_head.weight"] = mapped.pop("output_head.weight")
+    if "output_head.bias" in mapped and "disparity_head.bias" not in mapped:
+        mapped["disparity_head.bias"] = mapped.pop("output_head.bias")
+    return mapped
+
+
+def _to_np(v: Any) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor without importing torch
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _convT_kernel(w: np.ndarray) -> np.ndarray:
+    # (I, O, kH, kW) -> flip spatial -> (kH, kW, I, O)
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+def torch_key_map() -> dict[str, tuple[str, ...]]:
+    """torch state_dict key -> path into flax variables {'params'|'batch_stats', ...}."""
+    mapping: dict[str, tuple[str, ...]] = {}
+    for block in _CONV_BLOCKS:
+        # torch Sequential indices: 0 conv, 1 bn, 3 conv, 4 bn (2/5 are ReLU).
+        for i, (conv_idx, bn_idx) in enumerate(((0, 1), (3, 4))):
+            mapping[f"{block}.block.{conv_idx}.weight"] = (
+                "params", block, f"conv{i}", "kernel")
+            mapping[f"{block}.block.{bn_idx}.weight"] = (
+                "params", block, f"bn{i}", "scale")
+            mapping[f"{block}.block.{bn_idx}.bias"] = (
+                "params", block, f"bn{i}", "bias")
+            mapping[f"{block}.block.{bn_idx}.running_mean"] = (
+                "batch_stats", block, f"bn{i}", "mean")
+            mapping[f"{block}.block.{bn_idx}.running_var"] = (
+                "batch_stats", block, f"bn{i}", "var")
+    for up in _UPS:
+        mapping[f"{up}.weight"] = ("params", up, "kernel")
+        mapping[f"{up}.bias"] = ("params", up, "bias")
+    for head in _HEADS:
+        mapping[f"{head}.weight"] = ("params", head, "kernel")
+        mapping[f"{head}.bias"] = ("params", head, "bias")
+    return mapping
+
+
+def _convert_value(torch_key: str, value: np.ndarray) -> np.ndarray:
+    if torch_key.endswith("num_batches_tracked"):
+        return value
+    if any(torch_key.startswith(f"{u}.") for u in _UPS) and torch_key.endswith(
+        "weight"
+    ):
+        return _convT_kernel(value)
+    if torch_key.endswith(".weight") and value.ndim == 4:
+        return _conv_kernel(value)
+    return value
+
+
+def _set_path(tree: dict, path: tuple[str, ...], value: np.ndarray) -> bool:
+    node: Any = tree
+    for key in path[:-1]:
+        if not isinstance(node, Mapping) or key not in node:
+            return False
+        node = node[key]
+    leaf = path[-1]
+    if not isinstance(node, Mapping) or leaf not in node:
+        return False
+    expected = node[leaf]
+    if tuple(expected.shape) != tuple(value.shape):
+        raise ValueError(
+            f"Shape mismatch at {'/'.join(path)}: "
+            f"expected {tuple(expected.shape)}, got {tuple(value.shape)}"
+        )
+    # jnp.array (copy=True), NOT asarray: the source may be a numpy view of
+    # torch tensor storage, and JAX's CPU backend zero-copies aligned host
+    # arrays — an in-place torch optimizer step would then mutate our params.
+    node[leaf] = jnp.array(value, dtype=expected.dtype)
+    return True
+
+
+def load_torch_state_dict(
+    variables: Mapping[str, Any], state_dict: Mapping[str, Any]
+) -> tuple[dict[str, Any], list[str], list[str]]:
+    """Load a (possibly legacy) torch state_dict into flax variables.
+
+    Non-strict like the reference loader: returns (new_variables,
+    missing_keys, unexpected_keys). Missing entries (e.g. a checkpoint without
+    a logvar head) keep their freshly initialised values, exactly as the
+    reference synthesizes them (model.py:22-26).
+    """
+    import jax
+
+    tree = jax.tree.map(lambda x: x, dict(variables))  # deep-ish copy of dicts
+    tree = _deep_mutable(tree)
+    mapped = apply_legacy_renames({k: v for k, v in state_dict.items()})
+    key_map = torch_key_map()
+
+    unexpected: list[str] = []
+    seen: set[str] = set()
+    for key, raw in mapped.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        path = key_map.get(key)
+        if path is None:
+            unexpected.append(key)
+            continue
+        value = _convert_value(key, _to_np(raw))
+        if _set_path(tree, path, value):
+            seen.add(key)
+        else:
+            unexpected.append(key)
+
+    missing = [k for k in key_map if k not in seen and k not in mapped]
+    return tree, missing, unexpected
+
+
+def _deep_mutable(tree: Any) -> Any:
+    if isinstance(tree, Mapping):
+        return {k: _deep_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def export_torch_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse conversion: flax variables -> torch-layout state_dict arrays.
+
+    Lets checkpoints trained here be loaded by the reference implementation.
+    """
+    out: dict[str, np.ndarray] = {}
+    for torch_key, path in torch_key_map().items():
+        node: Any = variables
+        ok = True
+        for key in path:
+            if not isinstance(node, Mapping) or key not in node:
+                ok = False
+                break
+            node = node[key]
+        if not ok:
+            continue
+        value = np.asarray(node)
+        if any(torch_key.startswith(f"{u}.") for u in _UPS) and torch_key.endswith(
+            "weight"
+        ):
+            value = np.transpose(value, (2, 3, 0, 1))[:, :, ::-1, ::-1].copy()
+        elif torch_key.endswith(".weight") and value.ndim == 4:
+            value = np.transpose(value, (3, 2, 0, 1)).copy()
+        out[torch_key] = value
+    return out

@@ -1,0 +1,137 @@
+"""Training configuration with full CLI parity plus TPU-native additions.
+
+Flag-for-flag parity with the reference parser (train.py:62-211): same
+names, defaults, and semantics. TPU-native additions are grouped at the
+bottom (mesh/precision/packed-cache/resume flags) — each defaults to the
+behaviour a reference user expects.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import asdict, dataclass, fields
+
+
+@dataclass
+class TrainConfig:
+    dataset_root: str = "/mnt/bulk2/NVidia Foundation Stereo"
+    height: int = 240
+    width: int = 320
+    epochs: int = 100
+    batch_size: int = 30
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    num_workers: int = 4
+    val_fraction: float = 0.1
+    max_samples: int = 0
+    seed: int = 42
+    device: str = "auto"
+    mlflow_tracking_uri: str = "sqlite:///mlflow.db"
+    mlflow_experiment: str = "foundation-stereo-depth"
+    run_name: str | None = None
+    output_dir: str = "./outputs"
+    cache_root: str | None = None
+    require_cache: bool = False
+    compile: bool = False
+    compile_mode: str = "default"
+    compile_backend: str = "xla"
+    augment: bool = True
+    brightness_jitter: float = 0.25
+    contrast_jitter: float = 0.25
+    saturation_jitter: float = 0.25
+    hue_jitter: float = 0.09
+    gamma_jitter: float = 0.2
+    noise_std_max: float = 0.05
+    blur_prob: float = 0.03
+    blur_sigma_max: float = 1.0
+    blur_kernel_size: int = 5
+    # --- TPU-native additions (no reference counterpart) ---
+    mesh_devices: int = 0  # 0 = all visible devices (data-parallel axis)
+    compute_dtype: str = "bfloat16"  # MXU-friendly; "float32" for parity runs
+    packed_cache_root: str | None = None  # fast-path packed array cache
+    resume: str | None = None  # checkpoint dir to resume from (superset of ref)
+    log_every_batches: int = 10  # MLFLOW_TRAIN_LOG_EVERY_BATCHES (train.py:23)
+    preview_samples: int = 8  # MLFLOW_PREVIEW_SAMPLES (train.py:24)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+def parse_args(argv: list[str] | None = None) -> TrainConfig:
+    defaults = TrainConfig()
+    parser = argparse.ArgumentParser(
+        description="Train stereo disparity model on FoundationStereo (TPU-native)."
+    )
+    add = parser.add_argument
+    add("--dataset-root", type=str, default=defaults.dataset_root,
+        help="Path to FoundationStereo dataset root.")
+    add("--height", type=int, default=defaults.height, help="Training image height.")
+    add("--width", type=int, default=defaults.width, help="Training image width.")
+    add("--epochs", type=int, default=defaults.epochs, help="Number of epochs.")
+    add("--batch-size", type=int, default=defaults.batch_size, help="Batch size.")
+    add("--lr", type=float, default=defaults.lr, help="Learning rate.")
+    add("--weight-decay", type=float, default=defaults.weight_decay, help="Weight decay.")
+    add("--num-workers", type=int, default=defaults.num_workers,
+        help="Host batch-assembly worker threads.")
+    add("--val-fraction", type=float, default=defaults.val_fraction,
+        help="Validation fraction in [0, 1).")
+    add("--max-samples", type=int, default=defaults.max_samples,
+        help="Optional cap on number of samples.")
+    add("--seed", type=int, default=defaults.seed, help="Random seed.")
+    add("--device", type=str, default=defaults.device,
+        help='Device: "auto", "tpu", "cpu", or explicit JAX platform name.')
+    add("--mlflow-tracking-uri", type=str, default=defaults.mlflow_tracking_uri,
+        help="MLflow tracking URI (JSONL fallback if mlflow is unavailable).")
+    add("--mlflow-experiment", type=str, default=defaults.mlflow_experiment,
+        help="MLflow experiment name.")
+    add("--run-name", type=str, default=None, help="Optional run name.")
+    add("--output-dir", type=str, default=defaults.output_dir,
+        help="Directory for checkpoints/config.")
+    add("--cache-root", type=str, default=None,
+        help="Optional npz cache root built by foundation-stereo-cache.")
+    add("--require-cache", action="store_true",
+        help="Fail if any requested sample is missing from --cache-root.")
+    add("--compile", action=argparse.BooleanOptionalAction, default=defaults.compile,
+        help="Kept for CLI parity; the train step is always jit-compiled.")
+    add("--compile-mode", type=str, default=defaults.compile_mode,
+        choices=("default", "reduce-overhead", "max-autotune"),
+        help="Kept for CLI parity; XLA has one compilation mode.")
+    add("--compile-backend", type=str, default=defaults.compile_backend,
+        help="Kept for CLI parity; the backend is always XLA.")
+    add("--augment", action=argparse.BooleanOptionalAction, default=defaults.augment,
+        help="Enable asymmetric RGB augmentations independently on left/right.")
+    add("--brightness-jitter", type=float, default=defaults.brightness_jitter,
+        help="Brightness jitter; factor sampled from [1-x, 1+x].")
+    add("--contrast-jitter", type=float, default=defaults.contrast_jitter,
+        help="Contrast jitter; factor sampled from [1-x, 1+x].")
+    add("--saturation-jitter", type=float, default=defaults.saturation_jitter,
+        help="Saturation jitter; factor sampled from [1-x, 1+x].")
+    add("--hue-jitter", type=float, default=defaults.hue_jitter,
+        help="Hue jitter; shift sampled from [-x, x].")
+    add("--gamma-jitter", type=float, default=defaults.gamma_jitter,
+        help="Gamma jitter; factor sampled from [max(0.1, 1-x), 1+x].")
+    add("--noise-std-max", type=float, default=defaults.noise_std_max,
+        help="Max stddev for additive Gaussian noise sampled in [0, x].")
+    add("--blur-prob", type=float, default=defaults.blur_prob,
+        help="Probability of applying Gaussian blur per image.")
+    add("--blur-sigma-max", type=float, default=defaults.blur_sigma_max,
+        help="Max sigma for Gaussian blur (<= 0 disables blur).")
+    add("--blur-kernel-size", type=int, default=defaults.blur_kernel_size,
+        help="Gaussian blur kernel size (odd integer >= 3).")
+    # TPU-native flags
+    add("--mesh-devices", type=int, default=defaults.mesh_devices,
+        help="Data-parallel mesh size (0 = all visible devices).")
+    add("--compute-dtype", type=str, default=defaults.compute_dtype,
+        choices=("bfloat16", "float32"), help="Network compute dtype.")
+    add("--packed-cache-root", type=str, default=None,
+        help="Packed array cache (fast path); built automatically if missing.")
+    add("--resume", type=str, default=None,
+        help="Checkpoint directory to resume training from.")
+    add("--log-every-batches", type=int, default=defaults.log_every_batches,
+        help="Step-metric logging cadence in training batches.")
+    add("--preview-samples", type=int, default=defaults.preview_samples,
+        help="Fixed preview sample count logged each epoch.")
+    namespace = parser.parse_args(argv)
+    values = vars(namespace)
+    known = {f.name for f in fields(TrainConfig)}
+    return TrainConfig(**{k: v for k, v in values.items() if k in known})

@@ -1,0 +1,442 @@
+"""Training orchestrator: the ``foundation-stereo-depth`` CLI.
+
+Wiring parity with reference train.py:483-689 — discovery, seeded split,
+config.json, tracking params, epoch loop with step metrics every
+``log_every_batches`` training batches, val epoch, preview montages,
+last/best checkpoints (best on val MAE), final tags and artifacts — redesigned
+around a jitted sharded train step:
+
+- host pipeline yields uint8 batches (packed cache fast path when available),
+- a background prefetcher overlaps H2D with compute,
+- augmentation runs on-device inside the step,
+- metric sums accumulate on-device and are fetched at logging boundaries,
+- resume (--resume) restores the full TrainState (reference has no resume).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import time
+from dataclasses import asdict
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.packed_cache import PackedCache, build_packed_cache
+from ..data.pipeline import batch_iterator, loader_fetch, prefetch_to_device
+from ..data.dataset import StereoSampleLoader
+from ..data.samples import discover_samples, split_samples
+from ..eval.preview import save_preview_montage
+from ..models.unet import StereoUNet, count_params
+from ..ops.augment import AugmentConfig
+from ..ops.loss import LossStats, accumulate_stats, metrics_from_stats
+from ..parallel.mesh import make_mesh, replicate_to_mesh, shard_batch_to_mesh
+from ..parallel.train_step import (
+    TrainState,
+    create_train_state,
+    make_adamw,
+    make_eval_step,
+    make_predict_fn,
+    make_train_step,
+)
+from .checkpoint import load_train_state, save_checkpoint
+from .config import TrainConfig, parse_args
+from .tracking import TrackingRun
+
+
+def set_seed(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def resolve_devices(device_arg: str, mesh_devices: int) -> list[Any]:
+    if device_arg == "auto":
+        devices = jax.devices()
+    else:
+        devices = jax.devices(device_arg)
+    if mesh_devices > 0:
+        devices = devices[:mesh_devices]
+    return devices
+
+
+def augment_config_from(cfg: TrainConfig) -> AugmentConfig | None:
+    if not cfg.augment:
+        return None
+    return AugmentConfig(
+        brightness_jitter=cfg.brightness_jitter,
+        contrast_jitter=cfg.contrast_jitter,
+        saturation_jitter=cfg.saturation_jitter,
+        hue_jitter=cfg.hue_jitter,
+        gamma_jitter=cfg.gamma_jitter,
+        noise_std_max=cfg.noise_std_max,
+        blur_prob=cfg.blur_prob,
+        blur_sigma_max=cfg.blur_sigma_max,
+        blur_kernel_size=cfg.blur_kernel_size,
+    )
+
+
+def tracking_params(
+    cfg: TrainConfig, train_samples: int, val_samples: int, num_parameters: int
+) -> dict[str, Any]:
+    """Same key set as reference to_mlflow_params (train.py:439-480)."""
+    params: dict[str, Any] = {
+        "dataset_root": str(Path(cfg.dataset_root).expanduser()),
+        "height": cfg.height,
+        "width": cfg.width,
+        "epochs": cfg.epochs,
+        "batch_size": cfg.batch_size,
+        "lr": cfg.lr,
+        "weight_decay": cfg.weight_decay,
+        "val_fraction": cfg.val_fraction,
+        "seed": cfg.seed,
+        "device": cfg.device,
+        "train_samples": train_samples,
+        "val_samples": val_samples,
+        "num_parameters": num_parameters,
+        "augment": cfg.augment,
+        "uncertainty_head": True,
+        "loss": "heteroscedastic_l1_nll",
+        "mlflow_train_log_every_batches": cfg.log_every_batches,
+        "compile": True,  # the step is always jit-compiled on XLA
+        "compute_dtype": cfg.compute_dtype,
+        "mesh_devices": cfg.mesh_devices,
+    }
+    if cfg.augment:
+        params.update(
+            brightness_jitter=cfg.brightness_jitter,
+            contrast_jitter=cfg.contrast_jitter,
+            saturation_jitter=cfg.saturation_jitter,
+            hue_jitter=cfg.hue_jitter,
+            gamma_jitter=cfg.gamma_jitter,
+            noise_std_max=cfg.noise_std_max,
+            blur_prob=cfg.blur_prob,
+            blur_sigma_max=cfg.blur_sigma_max,
+            blur_kernel_size=cfg.blur_kernel_size,
+        )
+    if cfg.cache_root:
+        params["cache_root"] = str(Path(cfg.cache_root).expanduser())
+    params["require_cache"] = cfg.require_cache
+    if cfg.max_samples > 0:
+        params["max_samples"] = cfg.max_samples
+    return params
+
+
+def _step_metric_dict(stats: LossStats, prefix: str) -> dict[str, float]:
+    m = metrics_from_stats(stats)
+    return {
+        f"{prefix}_loss_step": m["loss"],
+        f"{prefix}_nll_step": m["nll"],
+        f"{prefix}_mae_step": m["mae"],
+        f"{prefix}_rmse_step": m["rmse"],
+        f"{prefix}_sigma_step": m["sigma"],
+    }
+
+
+def run_train_epoch(
+    step_fn,
+    state: TrainState,
+    batches: Iterator[Any],
+    *,
+    run: TrackingRun | None,
+    global_step: int,
+    log_every_batches: int,
+    progress_desc: str | None = None,
+) -> tuple[TrainState, dict[str, float], int]:
+    total: LossStats | None = None
+    interval: LossStats | None = None
+    iterator = batches
+    bar = None
+    try:
+        from tqdm import tqdm
+
+        bar = tqdm(batches, leave=False, desc=progress_desc)
+        iterator = bar
+    except ImportError:
+        pass
+
+    for batch in iterator:
+        global_step += 1
+        state, stats = step_fn(state, batch)
+        total = accumulate_stats(total, stats)
+        interval = accumulate_stats(interval, stats)
+        if (
+            log_every_batches > 0
+            and global_step % log_every_batches == 0
+            and float(interval.valid_count) > 0
+        ):
+            metrics = _step_metric_dict(interval, "train")
+            if run is not None:
+                run.log_metrics(metrics, step=global_step)
+            if bar is not None:
+                bar.set_postfix(
+                    mae=f"{metrics['train_mae_step']:.4f}",
+                    nll=f"{metrics['train_nll_step']:.4f}",
+                )
+            interval = None
+    # Flush a trailing partial interval (reference train.py:393-403).
+    if (
+        run is not None
+        and log_every_batches > 0
+        and interval is not None
+        and float(interval.valid_count) > 0
+    ):
+        run.log_metrics(_step_metric_dict(interval, "train"), step=global_step)
+
+    if total is None:
+        raise RuntimeError("No batches in training epoch.")
+    return state, metrics_from_stats(total), global_step
+
+
+def run_eval_epoch(eval_fn, state: TrainState, batches: Iterator[Any]) -> dict[str, float]:
+    total: LossStats | None = None
+    for batch in batches:
+        total = accumulate_stats(total, eval_fn(state, batch))
+    if total is None:
+        raise RuntimeError("No batches in eval epoch.")
+    return metrics_from_stats(total)
+
+
+def _make_fetch(
+    cfg: TrainConfig, samples, packed_root: Path | None
+) -> tuple[Callable[[np.ndarray], dict[str, np.ndarray]], int]:
+    """Pick the packed fast path when requested, else the npz/PIL loader."""
+    loader = StereoSampleLoader(
+        samples,
+        image_size=(cfg.height, cfg.width),
+        cache_root=cfg.cache_root,
+        require_cache=cfg.require_cache,
+    )
+    if packed_root is not None:
+        if not (packed_root / "meta.json").exists():
+            print(f"Building packed cache at {packed_root} ...")
+            build_packed_cache(loader, packed_root, progress=True)
+        cache = PackedCache(packed_root)
+        if len(cache) != len(samples):
+            raise ValueError(
+                f"Packed cache size {len(cache)} != sample count {len(samples)}; "
+                "rebuild with a fresh --packed-cache-root."
+            )
+        return cache.gather, len(cache)
+    return loader_fetch(loader), len(loader)
+
+
+def train(cfg: TrainConfig) -> dict[str, Any]:
+    set_seed(cfg.seed)
+    devices = resolve_devices(cfg.device, cfg.mesh_devices)
+    mesh = make_mesh(devices)
+    print(f"Using {len(devices)} device(s): {devices[0].platform} mesh={mesh.shape}")
+
+    all_samples = discover_samples(cfg.dataset_root)
+    if cfg.max_samples > 0:
+        all_samples = all_samples[: cfg.max_samples]
+    if len(all_samples) < 2:
+        raise ValueError(
+            "Need at least two samples to create train/validation splits."
+        )
+    train_samples, val_samples = split_samples(
+        all_samples, cfg.val_fraction, cfg.seed
+    )
+    print(
+        f"Discovered {len(all_samples)} samples: "
+        f"train={len(train_samples)}, val={len(val_samples)}"
+    )
+
+    packed_base = Path(cfg.packed_cache_root) if cfg.packed_cache_root else None
+    train_fetch, n_train = _make_fetch(
+        cfg, train_samples, packed_base / "train" if packed_base else None
+    )
+    val_fetch, n_val = (
+        _make_fetch(cfg, val_samples, packed_base / "val" if packed_base else None)
+        if val_samples
+        else (None, 0)
+    )
+
+    preview_source = val_samples if val_samples else train_samples
+    preview_split = "val" if val_samples else "train"
+    preview_count = min(cfg.preview_samples, len(preview_source))
+
+    model = StereoUNet(
+        in_channels=6,
+        out_channels=1,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )
+    tx = make_adamw(cfg.lr, cfg.weight_decay)
+    state = create_train_state(
+        model, jax.random.key(cfg.seed), (cfg.height, cfg.width), tx
+    )
+    num_parameters = count_params(state.params)
+    start_epoch = 1
+    if cfg.resume:
+        state, meta = load_train_state(Path(cfg.resume), state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"Resumed from {cfg.resume} at epoch {start_epoch - 1}.")
+    state = replicate_to_mesh(state, mesh)
+
+    train_step = make_train_step(model, tx, augment_config_from(cfg))
+    eval_step = make_eval_step(model)
+    predict = make_predict_fn(model)
+
+    def put(batch: dict[str, np.ndarray]) -> Any:
+        return shard_batch_to_mesh(batch, mesh)
+
+    run = TrackingRun(cfg.mlflow_tracking_uri, cfg.mlflow_experiment, cfg.run_name)
+    summary: dict[str, Any] = {}
+    with run:
+        run_id = run.run_id
+        output_dir = Path(cfg.output_dir).expanduser().resolve() / run_id
+        checkpoints_dir = output_dir / "checkpoints"
+        checkpoints_dir.mkdir(parents=True, exist_ok=True)
+        preview_root = output_dir / "mlflow_previews"
+        preview_root.mkdir(parents=True, exist_ok=True)
+        config_path = output_dir / "config.json"
+        config_path.write_text(json.dumps(asdict(cfg), indent=2), encoding="utf-8")
+
+        run.log_params(
+            tracking_params(cfg, len(train_samples), len(val_samples), num_parameters)
+        )
+        run.log_artifact(config_path, artifact_path="config")
+        if preview_count > 0:
+            print(
+                f"Previews: logging {preview_count} fixed {preview_split} "
+                "samples each epoch."
+            )
+
+        best_val_mae = float("inf")
+        best_epoch = -1
+        global_step = 0
+
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            start_time = time.time()
+            train_batches = prefetch_to_device(
+                batch_iterator(
+                    train_fetch, n_train, cfg.batch_size,
+                    shuffle=True, seed=cfg.seed, epoch=epoch,
+                    drop_last=len(devices) > 1,
+                ),
+                put=put,
+            )
+            state, train_metrics, global_step = run_train_epoch(
+                train_step,
+                state,
+                train_batches,
+                run=run,
+                global_step=global_step,
+                log_every_batches=cfg.log_every_batches,
+                progress_desc=f"epoch {epoch}",
+            )
+            if val_fetch is not None:
+                val_batches = prefetch_to_device(
+                    batch_iterator(val_fetch, n_val, cfg.batch_size), put=put
+                )
+                val_metrics = run_eval_epoch(eval_step, state, val_batches)
+            else:
+                val_metrics = train_metrics
+
+            epoch_metrics = {
+                "train_loss": train_metrics["loss"],
+                "train_nll": train_metrics["nll"],
+                "train_mae": train_metrics["mae"],
+                "train_rmse": train_metrics["rmse"],
+                "train_sigma": train_metrics["sigma"],
+                "epoch_seconds": time.time() - start_time,
+            }
+            if val_fetch is not None:
+                epoch_metrics.update(
+                    val_loss=val_metrics["loss"],
+                    val_nll=val_metrics["nll"],
+                    val_mae=val_metrics["mae"],
+                    val_rmse=val_metrics["rmse"],
+                    val_sigma=val_metrics["sigma"],
+                )
+            run.log_metrics(epoch_metrics, step=epoch)
+
+            if preview_count > 0:
+                previews_dir = preview_root / f"epoch_{epoch:04d}"
+                log_epoch_previews(
+                    predict, state, cfg, preview_source[:preview_count], previews_dir
+                )
+                run.log_artifacts(
+                    previews_dir, artifact_path=f"previews/epoch_{epoch:04d}"
+                )
+
+            save_checkpoint(
+                checkpoints_dir, "last", state,
+                epoch=epoch, config=asdict(cfg), metrics=epoch_metrics,
+            )
+            if val_metrics["mae"] < best_val_mae:
+                best_val_mae = val_metrics["mae"]
+                best_epoch = epoch
+                save_checkpoint(
+                    checkpoints_dir, "best", state,
+                    epoch=epoch, config=asdict(cfg), metrics=epoch_metrics,
+                )
+
+            if val_fetch is not None:
+                print(
+                    f"Epoch {epoch}/{cfg.epochs}: "
+                    f"train_mae={train_metrics['mae']:.4f}, "
+                    f"val_mae={val_metrics['mae']:.4f}, "
+                    f"train_rmse={train_metrics['rmse']:.4f}, "
+                    f"val_rmse={val_metrics['rmse']:.4f}"
+                )
+            else:
+                print(
+                    f"Epoch {epoch}/{cfg.epochs}: "
+                    f"train_mae={train_metrics['mae']:.4f}, "
+                    f"train_rmse={train_metrics['rmse']:.4f}"
+                )
+
+        run.set_tag("best_epoch", best_epoch)
+        run.set_tag("best_val_mae", best_val_mae)
+
+        print(f"Run: {run_id} (tracking backend: {run.backend})")
+        print(f"Best validation MAE: {best_val_mae:.4f} at epoch {best_epoch}")
+        print(f"Checkpoints saved to: {checkpoints_dir}")
+        summary = {
+            "run_id": run_id,
+            "best_epoch": best_epoch,
+            "best_val_mae": best_val_mae,
+            "checkpoints_dir": str(checkpoints_dir),
+            "global_step": global_step,
+        }
+    return summary
+
+
+def log_epoch_previews(
+    predict,
+    state: TrainState,
+    cfg: TrainConfig,
+    samples,
+    previews_dir: Path,
+) -> int:
+    loader = StereoSampleLoader(
+        samples,
+        image_size=(cfg.height, cfg.width),
+        cache_root=cfg.cache_root,
+        require_cache=cfg.require_cache,
+    )
+    previews_dir.mkdir(parents=True, exist_ok=True)
+    items = [loader[i] for i in range(len(loader))]
+    inputs = np.stack([it["input"] for it in items])
+    targets = np.stack([it["target"] for it in items])
+    disp, _ = predict(state.params, state.batch_stats, jnp.asarray(inputs))
+    disp = np.asarray(jax.device_get(disp))
+    written = 0
+    for i in range(inputs.shape[0]):
+        save_preview_montage(
+            previews_dir / f"sample_000_{i:02d}.png", inputs[i], targets[i], disp[i]
+        )
+        written += 1
+    return written
+
+
+def main() -> None:
+    train(parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Checkpointing: orbax save/restore round trip, resolution rules, torch .pt
+interop, and preview montage rendering."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_depth_estimation_tpu.models import StereoUNet
+from stereo_depth_estimation_tpu.parallel import create_train_state, make_adamw
+from stereo_depth_estimation_tpu.training.checkpoint import (
+    load_checkpoint_meta,
+    load_model_variables,
+    load_train_state,
+    resolve_checkpoint_path,
+    save_checkpoint,
+)
+
+HW = (16, 16)
+
+
+@pytest.fixture(scope="module")
+def state_and_model():
+    model = StereoUNet(base_channels=4)
+    tx = make_adamw(1e-3, 1e-4)
+    state = create_train_state(model, jax.random.key(0), HW, tx)
+    return model, tx, state
+
+
+def test_save_restore_round_trip(state_and_model, tmp_path: Path) -> None:
+    model, tx, state = state_and_model
+    ckpt = save_checkpoint(
+        tmp_path, "last", state, epoch=3,
+        config={"batch_size": 4}, metrics={"train_mae": 1.5},
+    )
+    assert ckpt == tmp_path / "last"
+    restored, meta = load_train_state(ckpt, state)
+    assert meta["epoch"] == 3
+    assert meta["config"]["batch_size"] == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(state.replace(rng=jax.random.key_data(state.rng))),
+        restored.replace(rng=jax.random.key_data(restored.rng)),
+    )
+
+
+def test_save_overwrites_atomically(state_and_model, tmp_path: Path) -> None:
+    model, tx, state = state_and_model
+    save_checkpoint(tmp_path, "last", state, epoch=1, config={}, metrics={})
+    save_checkpoint(tmp_path, "last", state, epoch=2, config={}, metrics={})
+    assert load_checkpoint_meta(tmp_path / "last")["epoch"] == 2
+
+
+def test_load_model_variables_from_orbax(state_and_model, tmp_path: Path) -> None:
+    model, tx, state = state_and_model
+    save_checkpoint(tmp_path, "best", state, epoch=1, config={}, metrics={})
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    variables, meta = load_model_variables(tmp_path / "best", template)
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["enc1"]["conv0"]["kernel"]),
+        np.asarray(state.params["enc1"]["conv0"]["kernel"]),
+    )
+    assert meta["epoch"] == 1
+
+
+def test_load_model_variables_from_torch_pt(state_and_model, tmp_path: Path) -> None:
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import _make_torch_model
+
+    torch.manual_seed(1)
+    tmodel = _make_torch_model(base=4)
+    pt_path = tmp_path / "reference.pt"
+    torch.save(
+        {"model_state_dict": tmodel.state_dict(), "epoch": 7}, pt_path
+    )
+    model, tx, state = state_and_model
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    variables, meta = load_model_variables(pt_path, template)
+    assert meta["epoch"] == 7
+    assert meta["has_uncertainty_head"] is True
+    # spot-check a converted conv kernel (OIHW -> HWIO); .copy() snapshots the
+    # value — .numpy() is a live view of torch storage.
+    expected = (
+        tmodel.enc1.block[0].weight.detach().numpy().transpose(2, 3, 1, 0).copy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["enc1"]["conv0"]["kernel"]), expected,
+        atol=1e-6,
+    )
+    # torch mutation after load must not affect loaded params (no aliasing)
+    with torch.no_grad():
+        tmodel.enc1.block[0].weight.add_(100.0)
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["enc1"]["conv0"]["kernel"]), expected,
+        atol=1e-6,
+    )
+
+
+def test_resolve_checkpoint_rules(tmp_path: Path) -> None:
+    out = tmp_path / "outputs"
+    for run, mtime in (("run_a", 1000), ("run_b", 2000)):
+        d = out / run / "checkpoints" / "last"
+        d.mkdir(parents=True)
+        meta = d / "meta.json"
+        meta.write_text("{}")
+        import os
+
+        os.utime(meta, ns=(mtime * 10**9, mtime * 10**9))
+
+    # newest-mtime scan
+    assert resolve_checkpoint_path(out) == out / "run_b" / "checkpoints" / "last"
+    # run-id
+    assert (
+        resolve_checkpoint_path(out, run_id="run_a")
+        == out / "run_a" / "checkpoints" / "last"
+    )
+    # explicit path wins
+    explicit = out / "run_a" / "checkpoints" / "last"
+    assert resolve_checkpoint_path(out, checkpoint=explicit) == explicit
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint_path(out, run_id="nope")
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint_path(tmp_path / "empty")
+
+
+def test_preview_montage(tmp_path: Path) -> None:
+    from PIL import Image
+
+    from stereo_depth_estimation_tpu.eval.preview import (
+        normalize_map,
+        save_preview_montage,
+    )
+
+    rng = np.random.default_rng(0)
+    stereo = rng.uniform(0, 1, (8, 10, 6)).astype(np.float32)
+    target = rng.uniform(0, 5, (8, 10)).astype(np.float32)
+    pred = rng.uniform(0, 5, (8, 10)).astype(np.float32)
+    out = tmp_path / "m.png"
+    save_preview_montage(out, stereo, target, pred)
+    img = np.asarray(Image.open(out))
+    assert img.shape == (8, 40, 3)  # 4 panels side by side
+
+    # all-NaN map -> black
+    assert normalize_map(np.full((4, 4), np.nan)).sum() == 0
+    # constant map stays in range
+    n = normalize_map(np.full((4, 4), 2.0))
+    assert n.shape == (4, 4, 3)

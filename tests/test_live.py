@@ -1,0 +1,233 @@
+"""Live stack, headless: DL viewer on stored frames (with and without
+rectification), SGBM baseline, calibration math, checkpoint hot-reload."""
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from stereo_depth_estimation_tpu.models import StereoUNet
+from stereo_depth_estimation_tpu.parallel import create_train_state, make_adamw
+from stereo_depth_estimation_tpu.training.checkpoint import save_checkpoint
+
+cv2 = pytest.importorskip("cv2")
+
+MODEL_HW = 64  # small square model input for CPU test speed
+
+
+def _write_frames(frame_dir: Path, n: int, size=(120, 160)) -> None:
+    rng = np.random.default_rng(0)
+    frame_dir.mkdir(parents=True, exist_ok=True)
+    h, w = size
+    for i in range(n):
+        for side in ("left", "right"):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(str(frame_dir / f"{side}_{i:03d}.png"), img)
+
+
+@pytest.fixture(scope="module")
+def checkpoint_dir(tmp_path_factory) -> Path:
+    root = tmp_path_factory.mktemp("ckpt")
+    model = StereoUNet()
+    tx = make_adamw(1e-3, 1e-4)
+    state = create_train_state(
+        model, jax.random.key(0), (MODEL_HW, MODEL_HW), tx
+    )
+    save_checkpoint(root, "last", state, epoch=5, config={}, metrics={})
+    return root / "last"
+
+
+def test_dl_viewer_headless_no_rectify(tmp_path: Path, checkpoint_dir: Path) -> None:
+    from stereo_depth_estimation_tpu.live.depth_live_dl import main
+
+    frames = tmp_path / "frames"
+    _write_frames(frames, 2)
+    out = tmp_path / "out"
+    main([
+        "--input-dir", str(frames), "--headless",
+        "--headless-output", str(out),
+        "--checkpoint", str(checkpoint_dir),
+        "--no-rectify", "--calibration", str(tmp_path / "missing.npz"),
+        "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
+        "--max-frames", "2",
+    ])
+    assert (out / "depth_00000.png").exists()
+    assert (out / "depth_00001.png").exists()
+    assert (out / "confidence_00000.png").exists()
+    readout = json.loads((out / "readout_00000.json").read_text())
+    assert readout["checkpoint_epoch"] == 5
+    assert readout["center_disparity"] is None or readout["center_disparity"] >= 0
+
+
+def test_dl_viewer_headless_with_rectification_and_depth(
+    tmp_path: Path, checkpoint_dir: Path
+) -> None:
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_remap import _synthetic_calibration
+
+    from stereo_depth_estimation_tpu.live.depth_live_dl import main
+
+    calib = _synthetic_calibration(w=160, h=120)
+    calib_path = tmp_path / "stereo_calib.npz"
+    np.savez_compressed(calib_path, **calib)
+
+    frames = tmp_path / "frames"
+    _write_frames(frames, 1, size=(120, 160))
+    out = tmp_path / "out"
+    main([
+        "--input-dir", str(frames), "--headless",
+        "--headless-output", str(out),
+        "--checkpoint", str(checkpoint_dir),
+        "--calibration", str(calib_path),
+        "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
+        "--max-frames", "1", "--ema-alpha", "0.5",
+    ])
+    readout = json.loads((out / "readout_00000.json").read_text())
+    # depth conversion is enabled (baseline + focal available from calib)
+    assert "center_depth_m" in readout
+    assert (out / "depth_00000.png").exists()
+
+
+def test_dl_viewer_size_mismatch_raises(tmp_path: Path, checkpoint_dir: Path) -> None:
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_remap import _synthetic_calibration
+
+    from stereo_depth_estimation_tpu.live.depth_live_dl import main
+
+    calib = _synthetic_calibration(w=160, h=120)
+    calib_path = tmp_path / "stereo_calib.npz"
+    np.savez_compressed(calib_path, **calib)
+    frames = tmp_path / "frames"
+    _write_frames(frames, 1, size=(64, 64))  # wrong size vs calibration
+    with pytest.raises(RuntimeError, match="size mismatch"):
+        main([
+            "--input-dir", str(frames), "--headless",
+            "--headless-output", str(tmp_path / "out"),
+            "--checkpoint", str(checkpoint_dir),
+            "--calibration", str(calib_path),
+            "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
+            "--max-frames", "1",
+        ])
+
+
+def test_sgbm_headless(tmp_path: Path) -> None:
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_remap import _synthetic_calibration
+
+    from stereo_depth_estimation_tpu.live.depth_live_sgbm import main
+
+    calib = _synthetic_calibration(w=160, h=120)
+    calib_path = tmp_path / "stereo_calib.npz"
+    np.savez_compressed(calib_path, **calib)
+    frames = tmp_path / "frames"
+    _write_frames(frames, 2, size=(120, 160))
+    out = tmp_path / "sgbm"
+    main([
+        "--input-dir", str(frames), "--headless",
+        "--output-dir", str(out), "--calibration", str(calib_path),
+        "--num-disparities", "32", "--block-size", "5",
+    ])
+    assert (out / "disparity_00000.png").exists()
+    assert (out / "readout_00001.json").exists()
+
+
+def test_sgbm_validates_args(tmp_path: Path) -> None:
+    from stereo_depth_estimation_tpu.live.depth_live_sgbm import main
+
+    calib_path = tmp_path / "c.npz"
+    np.savez_compressed(calib_path, image_size=np.array([4, 4]))
+    with pytest.raises(ValueError, match="multiple of 16"):
+        main(["--calibration", str(calib_path), "--num-disparities", "17",
+              "--input-dir", str(tmp_path)])
+
+
+def test_calibrate_stereo_recovers_geometry() -> None:
+    """Feed synthetic projected chessboard points through the calibration
+    pipeline; recovered baseline must match the ground-truth rig."""
+    from stereo_depth_estimation_tpu.live.calibrate import (
+        calibrate_stereo,
+        make_object_points,
+    )
+    from stereo_depth_estimation_tpu.ops.geometry import estimate_baseline_m
+
+    rng = np.random.default_rng(0)
+    w, h = 320, 240
+    K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]])
+    dist = np.zeros(5)
+    baseline = 0.07
+    objp = make_object_points(4, 5, 0.03)
+
+    img_l, img_r = [], []
+    for _ in range(10):
+        rvec = rng.uniform(-0.25, 0.25, 3)
+        tvec = np.array([
+            rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+            rng.uniform(0.4, 0.7),
+        ])
+        pl, _ = cv2.projectPoints(objp, rvec, tvec, K, dist)
+        tvec_r = tvec.copy()
+        tvec_r[0] -= baseline  # right camera displaced along +x
+        pr, _ = cv2.projectPoints(objp, rvec, tvec_r, K, dist)
+        img_l.append(pl.astype(np.float32))
+        img_r.append(pr.astype(np.float32))
+
+    criteria = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 60, 1e-6)
+    result = calibrate_stereo(objp, img_l, img_r, (w, h), criteria)
+    assert float(result["stereo_rms"]) < 1.0
+    est = estimate_baseline_m(result["P1"], result["P2"], result["T"])
+    assert abs(est - baseline) / baseline < 0.05
+    for key in ("mtx_l", "dist_l", "R", "T", "E", "F", "R1", "R2", "Q"):
+        assert key in result
+
+
+def test_checkpoint_watcher_reloads_on_mtime_change(
+    tmp_path: Path, checkpoint_dir: Path
+) -> None:
+    import shutil
+
+    from stereo_depth_estimation_tpu.live.depth_live_dl import (
+        CheckpointWatcher,
+        LiveDepthEngine,
+    )
+
+    local = tmp_path / "ckpt"
+    shutil.copytree(checkpoint_dir, local)
+    engine = LiveDepthEngine((MODEL_HW, MODEL_HW), rectifier=None)
+    engine.load_checkpoint(local)
+    watcher = CheckpointWatcher(engine, local, poll_sec=0.0)
+
+    # touch meta to simulate a new checkpoint; epoch in meta changes
+    meta = json.loads((local / "meta.json").read_text())
+    meta["epoch"] = 9
+    (local / "meta.json").write_text(json.dumps(meta))
+    now = time.time_ns()
+    import os
+
+    os.utime(local / "meta.json", ns=(now + 10**9, now + 10**9))
+    watcher.maybe_reload()
+    assert engine.loaded_epoch == 9
+
+
+def test_camera_config_fourcc_validation() -> None:
+    from stereo_depth_estimation_tpu.live.camera_setup import (
+        CameraConfig,
+        configure_camera,
+        decode_fourcc,
+    )
+
+    class FakeCap:
+        def set(self, *a):
+            pass
+
+    with pytest.raises(ValueError, match="4 characters"):
+        configure_camera(FakeCap(), CameraConfig(640, 480, 30, fourcc="bad"))
+    assert decode_fourcc(float(cv2.VideoWriter.fourcc(*"MJPG"))) == "MJPG"

@@ -1,0 +1,168 @@
+"""Trainer smoke tests on synthetic data: end-to-end epochs, tracking output,
+checkpoints (last/best), resume, previews, config parity."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from stereo_depth_estimation_tpu.ops.codec import disparity_encode_np
+from stereo_depth_estimation_tpu.training.config import TrainConfig, parse_args
+from stereo_depth_estimation_tpu.training.tracking import TrackingRun
+from stereo_depth_estimation_tpu.training.trainer import train
+
+
+def _make_dataset(root: Path, n: int = 12, shape=(32, 32)) -> None:
+    rng = np.random.default_rng(0)
+    base = root / "scene_01" / "dataset" / "data"
+    for sub in ("left/rgb", "right/rgb", "left/disparity"):
+        (base / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        stem = f"{i:06d}"
+        left = rng.uniform(0, 255, (*shape, 3)).astype(np.uint8)
+        right = rng.uniform(0, 255, (*shape, 3)).astype(np.uint8)
+        disparity = rng.uniform(0.5, 20.0, shape).astype(np.float32)
+        Image.fromarray(left).save(base / "left/rgb" / f"{stem}.png")
+        Image.fromarray(right).save(base / "right/rgb" / f"{stem}.png")
+        Image.fromarray(disparity_encode_np(disparity)).save(
+            base / "left/disparity" / f"{stem}.png"
+        )
+
+
+def _config(tmp_path: Path, **kw) -> TrainConfig:
+    base = dict(
+        dataset_root=str(tmp_path / "data"),
+        height=32,
+        width=32,
+        epochs=2,
+        batch_size=4,
+        val_fraction=0.25,
+        seed=42,
+        device="cpu",
+        mesh_devices=1,
+        compute_dtype="float32",
+        mlflow_tracking_uri=str(tmp_path / "mlruns"),
+        output_dir=str(tmp_path / "outputs"),
+        preview_samples=2,
+        log_every_batches=2,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer")
+    _make_dataset(root / "data")
+    return root
+
+
+def test_train_end_to_end(dataset_root: Path) -> None:
+    cfg = _config(dataset_root)
+    summary = train(cfg)
+    run_dir = Path(cfg.output_dir) / summary["run_id"]
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "checkpoints" / "last" / "meta.json").exists()
+    assert (run_dir / "checkpoints" / "best" / "meta.json").exists()
+    assert summary["best_epoch"] in (1, 2)
+    assert np.isfinite(summary["best_val_mae"])
+    previews = list((run_dir / "mlflow_previews").rglob("*.png"))
+    assert len(previews) == 2 * 2  # 2 samples x 2 epochs
+    # tracking fallback wrote metrics
+    metrics_files = list(Path(cfg.mlflow_tracking_uri).rglob("metrics.jsonl"))
+    assert metrics_files
+    lines = [json.loads(line) for line in metrics_files[0].read_text().splitlines()]
+    keys = {k for line in lines for k in line}
+    assert {"train_loss_step", "train_mae_step", "train_loss", "val_mae",
+            "epoch_seconds"} <= keys
+    meta = json.loads(
+        (run_dir / "checkpoints" / "last" / "meta.json").read_text()
+    )
+    assert meta["epoch"] == 2
+    assert meta["config"]["batch_size"] == 4
+    assert "train_mae" in meta["metrics"]
+
+
+def test_resume_continues_from_checkpoint(dataset_root: Path, tmp_path: Path) -> None:
+    cfg = _config(
+        dataset_root,
+        epochs=1,
+        output_dir=str(tmp_path / "out1"),
+        mlflow_tracking_uri=str(tmp_path / "t1"),
+        preview_samples=0,
+    )
+    summary1 = train(cfg)
+    last = Path(cfg.output_dir) / summary1["run_id"] / "checkpoints" / "last"
+
+    cfg2 = _config(
+        dataset_root,
+        epochs=2,
+        resume=str(last),
+        output_dir=str(tmp_path / "out2"),
+        mlflow_tracking_uri=str(tmp_path / "t2"),
+        preview_samples=0,
+    )
+    summary2 = train(cfg2)
+    # resumed run trains only epoch 2
+    run_dir = Path(cfg2.output_dir) / summary2["run_id"]
+    meta = json.loads((run_dir / "checkpoints" / "last" / "meta.json").read_text())
+    assert meta["epoch"] == 2
+    assert summary2["best_epoch"] == 2
+
+
+def test_train_with_packed_cache(dataset_root: Path, tmp_path: Path) -> None:
+    cfg = _config(
+        dataset_root,
+        epochs=1,
+        packed_cache_root=str(tmp_path / "packed"),
+        output_dir=str(tmp_path / "out"),
+        mlflow_tracking_uri=str(tmp_path / "t"),
+        preview_samples=0,
+    )
+    summary = train(cfg)
+    assert (tmp_path / "packed" / "train" / "meta.json").exists()
+    assert (tmp_path / "packed" / "val" / "meta.json").exists()
+    assert np.isfinite(summary["best_val_mae"])
+
+
+def test_parse_args_defaults_match_reference() -> None:
+    cfg = parse_args([])
+    assert (cfg.height, cfg.width) == (240, 320)
+    assert cfg.epochs == 100
+    assert cfg.batch_size == 30
+    assert cfg.lr == 1e-3
+    assert cfg.weight_decay == 1e-4
+    assert cfg.val_fraction == 0.1
+    assert cfg.seed == 42
+    assert cfg.augment is True
+    assert cfg.brightness_jitter == 0.25
+    assert cfg.hue_jitter == 0.09
+    assert cfg.gamma_jitter == 0.2
+    assert cfg.noise_std_max == 0.05
+    assert cfg.blur_prob == 0.03
+    assert cfg.blur_sigma_max == 1.0
+    assert cfg.blur_kernel_size == 5
+    assert cfg.mlflow_experiment == "foundation-stereo-depth"
+
+
+def test_parse_args_boolean_options() -> None:
+    cfg = parse_args(["--no-augment", "--require-cache"])
+    assert cfg.augment is False
+    assert cfg.require_cache is True
+
+
+def test_tracking_run_jsonl_backend(tmp_path: Path) -> None:
+    run = TrackingRun(str(tmp_path / "uri"), "exp", "name", force_local=True)
+    with run:
+        run.log_params({"a": 1})
+        run.log_metrics({"m": 2.0}, step=1)
+        run.set_tag("t", "v")
+        art = tmp_path / "artifact.txt"
+        art.write_text("x")
+        run.log_artifact(art, artifact_path="cfg")
+    base = tmp_path / "uri" / "tracking" / "exp" / run.run_id
+    assert json.loads((base / "params.json").read_text()) == {"a": 1}
+    assert json.loads((base / "tags.json").read_text()) == {"t": "v"}
+    assert (base / "artifacts" / "cfg" / "artifact.txt").exists()
