@@ -1,15 +1,30 @@
 """Benchmark: end-to-end training throughput (stereo pairs/sec/chip).
 
 Measures steady-state training throughput at 320x240 on the flagship
-StereoUNet with the device-resident fast path: the packed cache (uint8
-images + f16 disparity — the decoded/cached representation, exactly what the
-reference trains from on its cached path) is staged into HBM once, then
-every step runs fully on-device: per-epoch permutation, batch gather,
+StereoUNet with the device-resident fast path: a synthetic packed-cache
+payload (uint8 stereo images + f16 disparity — exactly the decoded/cached
+representation the reference trains from on its cached path) lives in HBM,
+and every step runs fully on-device: per-epoch permutation, batch gather,
 normalise, asymmetric augmentation, forward/backward, AdamW — K steps per
-dispatch via lax.scan. Staging is a one-time cost per training run (reported
-as ``staging_seconds``; ~1% of a real 100-epoch run) and excluded from the
-steady-state rate, mirroring the reference's per-epoch timing
-(train.py:630).
+dispatch via lax.scan.
+
+Engineered to finish on a slow tunneled device transport (round-1 bench
+timed out, BENCH_r01.json rc=124):
+- the payload is GENERATED ON DEVICE with jax.random (zero H2D staging;
+  round 1 pushed 1.26 GB through a single-digit-MB/s transport),
+- model/optimizer init is one jitted program (eager init was ~100 s of
+  per-op dispatch),
+- each step is TWO pipelined dispatches (on-device batch gather + the
+  standard augmented train step) instead of one fused or scanned program:
+  the fused/scanned variants take the platform's TPU toolchain >12 min to
+  compile, the split compiles in ~17 s and dispatches asynchronously, so
+  steps pipeline and throughput stays compute-bound (measured ~115k
+  pairs/s at batch 128),
+- the persistent compilation cache is enabled, so repeat runs skip the
+  one-time XLA compile,
+- stage progress goes to stderr so a timeout is diagnosable,
+- measurement is time-budgeted: it stops after MEASURE_SECONDS rather than
+  a fixed step count.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N/5000}
@@ -18,64 +33,103 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 5000.0
+MEASURE_SECONDS = 15.0
+MAX_BENCH_STEPS = 16384
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def main() -> None:
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from stereo_depth_estimation_tpu.models import StereoUNet
     from stereo_depth_estimation_tpu.ops.augment import AugmentConfig
-    from stereo_depth_estimation_tpu.parallel import (
-        create_train_state,
-        make_adamw,
-    )
+    from stereo_depth_estimation_tpu.parallel import create_train_state, make_adamw
     from stereo_depth_estimation_tpu.parallel.train_step import (
-        make_device_data_train_loop,
+        make_device_data_train_step,
     )
 
     hw = (240, 320)
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    n_samples = 2048
-    steps_per_call = 10
-    bench_calls = 5
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    n_samples = 1024
 
-    # Synthetic packed-cache payload (uint8 stereo + f16 disparity).
-    rng = np.random.default_rng(0)
-    images = rng.integers(0, 256, (n_samples, *hw, 6), dtype=np.uint8)
-    targets = rng.uniform(0.5, 64.0, (n_samples, *hw)).astype(np.float16)
+    _log(f"devices: {jax.devices()}")
 
-    t_stage0 = time.perf_counter()
-    images_dev = jax.device_put(jnp.asarray(images))
-    targets_dev = jax.device_put(jnp.asarray(targets))
+    # Synthetic packed-cache payload, generated directly in HBM.
+    @jax.jit
+    def gen_payload(key):
+        k_img, k_tgt = jax.random.split(key)
+        images = jax.random.randint(
+            k_img, (n_samples, *hw, 6), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+        targets = jax.random.uniform(
+            k_tgt, (n_samples, *hw), jnp.float32, 0.5, 64.0
+        ).astype(jnp.float16)
+        return images, targets
+
+    t = time.perf_counter()
+    images_dev, targets_dev = gen_payload(jax.random.key(0))
     jax.block_until_ready(images_dev)
-    staging_seconds = time.perf_counter() - t_stage0
+    _log(f"payload generated on device in {time.perf_counter() - t:.1f}s "
+         f"({images_dev.nbytes / 1e6:.0f} MB images)")
 
     model = StereoUNet(compute_dtype=jnp.bfloat16)
     tx = make_adamw(1e-3, 1e-4)
-    state = create_train_state(model, jax.random.key(0), hw, tx)
-    loop = make_device_data_train_loop(
-        model, tx, images_dev, targets_dev, batch_size,
-        AugmentConfig(), steps_per_call=steps_per_call,
+
+    t = time.perf_counter()
+    state = jax.jit(lambda k: create_train_state(model, k, hw, tx))(
+        jax.random.key(0)
+    )
+    jax.block_until_ready(state.params)
+    _log(f"train state initialised (jitted) in {time.perf_counter() - t:.1f}s")
+
+    step = make_device_data_train_step(
+        model, tx, images_dev, targets_dev, batch_size, AugmentConfig()
     )
 
-    # Warmup: compile + settle.
-    state, stats = loop(state)
-    _ = float(np.asarray(stats.nll_sum)[-1])  # full sync
+    t = time.perf_counter()
+    state, stats = step(state)
+    _ = float(np.asarray(stats.nll_sum))  # full sync
+    compile_seconds = time.perf_counter() - t
+    _log(f"warmup step (compile) done in {compile_seconds:.1f}s")
+    # A few post-compile steps to settle the pipeline before timing.
+    for _i in range(4):
+        state, stats = step(state)
+    _ = float(np.asarray(stats.nll_sum))
 
+    steps = 0
     start = time.perf_counter()
-    for _ in range(bench_calls):
-        state, stats = loop(state)
-    _ = float(np.asarray(stats.nll_sum)[-1])  # sync on final call
+    while steps < MAX_BENCH_STEPS:
+        state, stats = step(state)
+        steps += 1
+        if steps % 64 == 0:
+            # Sync so elapsed reflects completed work, then check the budget.
+            _ = float(np.asarray(stats.nll_sum))
+            elapsed = time.perf_counter() - start
+            _log(f"measured {steps} steps in {elapsed:.1f}s")
+            if elapsed > MEASURE_SECONDS:
+                break
+    _ = float(np.asarray(stats.nll_sum))
     elapsed = time.perf_counter() - start
 
-    pairs = bench_calls * steps_per_call * batch_size
+    pairs = steps * batch_size
     pairs_per_sec = pairs / elapsed
     print(
         json.dumps(
@@ -85,8 +139,8 @@ def main() -> None:
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
                 "batch_size": batch_size,
-                "staging_seconds": round(staging_seconds, 2),
-                "steps_measured": bench_calls * steps_per_call,
+                "compile_seconds": round(compile_seconds, 2),
+                "steps_measured": steps,
             }
         )
     )

@@ -36,8 +36,46 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch_to_mesh(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put a host batch pytree with the batch axis sharded over the mesh."""
+def pad_batch_for_mesh(
+    batch: dict[str, Any], n_devices: int
+) -> dict[str, Any]:
+    """Pad a {input, target[, valid_mask]} batch so the leading axis is a
+    multiple of ``n_devices``, without perturbing training math.
+
+    Pad rows wrap around to real samples (so BatchNorm batch statistics see
+    plausible images, not zeros), while ``valid_mask`` is forced to False on
+    every padded row — the loss and all metric sums are masked reductions
+    (ops/loss.py), so padded rows contribute exactly nothing. The reference
+    never faces this (single device, any batch size — train.py:531-550); on a
+    mesh the batch axis must divide, and reference-default batch_size=30 on 8
+    devices would otherwise be unshardable.
+    """
+    n = int(next(iter(batch.values())).shape[0])
+    pad = (-n) % n_devices
+    if pad == 0:
+        return batch
+    idx = np.concatenate([np.arange(n), np.arange(pad) % n])
+    target = np.asarray(batch["target"])[idx]
+    mask = batch.get("valid_mask")
+    mask = (target > 0.0) if mask is None else np.asarray(mask)[idx]
+    mask = mask.copy()
+    mask[n:] = False
+    out = {k: np.asarray(v)[idx] for k, v in batch.items() if k != "valid_mask"}
+    out["valid_mask"] = mask
+    return out
+
+
+def shard_batch_to_mesh(
+    batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS, *, pad: bool = True
+) -> Any:
+    """Device-put a host batch pytree with the batch axis sharded over the mesh.
+
+    Dict batches with an indivisible leading axis are pad-and-masked first
+    (see ``pad_batch_for_mesh``); set ``pad=False`` to require divisibility.
+    """
+    n_devices = mesh.size
+    if pad and n_devices > 1 and isinstance(batch, dict) and "target" in batch:
+        batch = pad_batch_for_mesh(batch, n_devices)
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
