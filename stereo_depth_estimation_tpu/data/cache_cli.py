@@ -1,8 +1,16 @@
-"""``foundation-stereo-cache`` CLI: pre-resize samples into caches.
+"""``foundation-stereo-cache``: materialise decoded samples ahead of training.
 
-CLI parity with reference cache.py:18-112 (same flags, skip-if-exists,
---overwrite, --compress, cache_meta.json manifest) plus ``--packed`` to also
-emit the packed memmap cache (the TPU training fast path).
+Walks the raw FoundationStereo tree once, decodes + resizes every sample to
+the training resolution, and stores the result twice over if asked:
+
+- per-sample ``.npz`` entries under the cache root (the read-through format
+  the dataset also fills lazily — flag surface and ``cache_meta.json``
+  schema match the reference cache builder,
+  /root/reference/src/foundation_stereo_depth/cache.py, so caches
+  interoperate);
+- optionally (``--packed``) one contiguous memmap bundle, the TPU training
+  fast path: batch assembly becomes a single fancy-index gather instead of
+  thousands of small file opens.
 """
 
 from __future__ import annotations
@@ -10,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from dataclasses import asdict, dataclass
 from pathlib import Path
 
 from .cache import sample_cache_relpath, save_cached_sample
@@ -18,39 +27,49 @@ from .packed_cache import build_packed_cache
 from .samples import discover_samples
 
 
-def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="Build a resized FoundationStereo cache for faster training I/O."
+        description="Decode and resize the raw dataset once, so training "
+                    "reads preprocessed arrays instead of PNGs."
     )
-    parser.add_argument(
-        "--dataset-root", type=str, required=True,
-        help="Path to raw FoundationStereo dataset root.",
-    )
-    parser.add_argument(
-        "--cache-root", type=str, required=True,
-        help="Path to write cache files (prefer SSD).",
-    )
-    parser.add_argument("--height", type=int, default=240, help="Cached image height.")
-    parser.add_argument("--width", type=int, default=320, help="Cached image width.")
-    parser.add_argument(
-        "--max-samples", type=int, default=0, help="Optional cap on number of samples."
-    )
-    parser.add_argument(
-        "--overwrite", action="store_true", help="Overwrite existing cache entries."
-    )
-    parser.add_argument(
-        "--compress", action="store_true",
-        help="Use np.savez_compressed (smaller files, slower build/read).",
-    )
-    parser.add_argument(
-        "--packed", action="store_true",
-        help="Also build the packed memmap cache at <cache-root>/packed "
-             "(fast path for TPU training).",
-    )
-    return parser.parse_args(argv)
+    parser.add_argument("--dataset-root", type=str, required=True,
+                        help="Raw FoundationStereo tree to read from.")
+    parser.add_argument("--cache-root", type=str, required=True,
+                        help="Directory that receives the cache (use fast "
+                             "local storage).")
+    parser.add_argument("--height", type=int, default=240,
+                        help="Target height of cached samples.")
+    parser.add_argument("--width", type=int, default=320,
+                        help="Target width of cached samples.")
+    parser.add_argument("--max-samples", type=int, default=0,
+                        help="Stop after this many samples (0 = all).")
+    parser.add_argument("--overwrite", action="store_true",
+                        help="Re-encode entries that already exist.")
+    parser.add_argument("--compress", action="store_true",
+                        help="Deflate the npz entries (smaller, slower).")
+    parser.add_argument("--packed", action="store_true",
+                        help="Additionally emit the contiguous memmap bundle "
+                             "at <cache-root>/packed.")
+    return parser
 
 
-def build_cache(args: argparse.Namespace) -> dict:
+@dataclass
+class CacheBuildReport:
+    format_version: int
+    dataset_root: str
+    cache_root: str
+    height: int
+    width: int
+    num_samples_total: int
+    num_written: int
+    num_skipped: int
+    compressed: bool
+    packed: bool
+    elapsed_seconds: float
+    created_at_unix: float
+
+
+def run_build(args: argparse.Namespace) -> CacheBuildReport:
     dataset_root = Path(args.dataset_root).expanduser().resolve()
     cache_root = Path(args.cache_root).expanduser().resolve()
     cache_root.mkdir(parents=True, exist_ok=True)
@@ -59,65 +78,64 @@ def build_cache(args: argparse.Namespace) -> dict:
     if args.max_samples > 0:
         samples = samples[: args.max_samples]
     if not samples:
-        raise ValueError(f"No samples discovered under: {dataset_root}")
+        raise ValueError(f"Nothing to cache — no samples found in {dataset_root}")
+    print(f"{len(samples)} samples -> {cache_root} "
+          f"at {args.width}x{args.height}")
 
     loader = StereoSampleLoader(samples, image_size=(args.height, args.width))
-    written = 0
-    skipped = 0
-    started_at = time.time()
-    iterator = enumerate(samples)
+    t_start = time.time()
+    written = skipped = 0
+    progress = samples
     try:
         from tqdm import tqdm
 
-        iterator = enumerate(tqdm(samples, desc="Building cache", unit="sample"))
+        progress = tqdm(samples, unit="sample")
     except ImportError:
         pass
-    for index, sample in iterator:
-        cache_file = cache_root / sample_cache_relpath(sample)
-        if cache_file.exists() and not args.overwrite:
+    for index, sample in enumerate(progress):
+        destination = cache_root / sample_cache_relpath(sample)
+        if destination.exists() and not args.overwrite:
             skipped += 1
             continue
         left, right, disparity = loader.load(index)
-        save_cached_sample(
-            cache_file, left, right, disparity, compress=args.compress
-        )
+        save_cached_sample(destination, left, right, disparity,
+                           compress=args.compress)
         written += 1
 
     if args.packed:
-        cached_loader = StereoSampleLoader(
-            samples, image_size=(args.height, args.width), cache_root=cache_root
+        # Read back through the npz layer we just filled, so the bundle is
+        # byte-identical to what lazy training reads would have produced.
+        build_packed_cache(
+            StereoSampleLoader(samples, image_size=(args.height, args.width),
+                               cache_root=cache_root),
+            cache_root / "packed",
+            progress=True,
         )
-        build_packed_cache(cached_loader, cache_root / "packed", progress=True)
 
-    elapsed_sec = time.time() - started_at
-    metadata = {
-        "format_version": 1,
-        "dataset_root": str(dataset_root),
-        "cache_root": str(cache_root),
-        "height": args.height,
-        "width": args.width,
-        "num_samples_total": len(samples),
-        "num_written": written,
-        "num_skipped": skipped,
-        "compressed": bool(args.compress),
-        "packed": bool(args.packed),
-        "elapsed_seconds": elapsed_sec,
-        "created_at_unix": time.time(),
-    }
-    (cache_root / "cache_meta.json").write_text(
-        json.dumps(metadata, indent=2), encoding="utf-8"
+    report = CacheBuildReport(
+        format_version=1,
+        dataset_root=str(dataset_root),
+        cache_root=str(cache_root),
+        height=args.height,
+        width=args.width,
+        num_samples_total=len(samples),
+        num_written=written,
+        num_skipped=skipped,
+        compressed=bool(args.compress),
+        packed=bool(args.packed),
+        elapsed_seconds=time.time() - t_start,
+        created_at_unix=time.time(),
     )
-    print(
-        "Cache build complete: "
-        f"total={len(samples)} written={written} skipped={skipped} "
-        f"elapsed={elapsed_sec:.1f}s"
-    )
-    print(f"Metadata: {cache_root / 'cache_meta.json'}")
-    return metadata
+    manifest = cache_root / "cache_meta.json"
+    manifest.write_text(json.dumps(asdict(report), indent=2), encoding="utf-8")
+    print(f"Done in {report.elapsed_seconds:.1f}s — "
+          f"{written} encoded, {skipped} already present; "
+          f"manifest at {manifest}")
+    return report
 
 
 def main() -> None:
-    build_cache(parse_args())
+    run_build(build_parser().parse_args())
 
 
 if __name__ == "__main__":

@@ -112,8 +112,29 @@ class PackedCache:
         }
 
 
+def samples_fingerprint(samples) -> str:
+    """Order-sensitive digest of a sample list's source paths.
+
+    Stored in a packed cache's meta.json and re-checked on reuse, so a cache
+    built for one train/val split can never silently serve a different one
+    (same counts, different membership -> train/val leakage)."""
+    import hashlib
+
+    digest = hashlib.blake2s()
+    for sample in samples:
+        for path in (
+            sample.left_rgb_path,
+            sample.right_rgb_path,
+            sample.disparity_path,
+        ):
+            digest.update(str(path).encode())
+            digest.update(b"\x00")
+    return digest.hexdigest()
+
+
 def build_packed_cache(
-    loader, root: str | Path, *, progress: bool = False
+    loader, root: str | Path, *, progress: bool = False,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Pack every sample of a StereoSampleLoader into a new cache at root."""
     writer = PackedCacheWriter(root, loader.image_size)
@@ -128,4 +149,4 @@ def build_packed_cache(
     for index in iterator:
         left, right, disparity = loader.load(index)
         writer.add(left, right, disparity)
-    return writer.finalize()
+    return writer.finalize(extra_meta)

@@ -49,17 +49,39 @@ def batch_iterator(
         yield fetch(idx)
 
 
-def loader_fetch(loader) -> Callable[[np.ndarray], dict[str, np.ndarray]]:
-    """Batch assembly from a per-sample StereoSampleLoader."""
+def loader_fetch(
+    loader, num_workers: int = 0
+) -> Callable[[np.ndarray], dict[str, np.ndarray]]:
+    """Batch assembly from a per-sample StereoSampleLoader.
 
-    def fetch(indices: np.ndarray) -> dict[str, np.ndarray]:
+    ``num_workers > 0`` decodes samples on a thread pool — the counterpart
+    of the reference DataLoader's worker processes (train.py:533-550).
+    Threads (not processes) suffice here because PIL/numpy decode and resize
+    release the GIL, and they share the page cache with zero IPC cost.
+    """
+
+    def fetch_serial(indices: np.ndarray) -> dict[str, np.ndarray]:
         items = [loader[int(i)] for i in indices]
         return {
             "input": np.stack([it["input"] for it in items]),
             "target": np.stack([it["target"] for it in items]),
         }
 
-    return fetch
+    if num_workers <= 0:
+        return fetch_serial
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def fetch_pooled(indices: np.ndarray) -> dict[str, np.ndarray]:
+        items = list(pool.map(lambda i: loader[int(i)], indices))
+        return {
+            "input": np.stack([it["input"] for it in items]),
+            "target": np.stack([it["target"] for it in items]),
+        }
+
+    return fetch_pooled
 
 
 def prefetch_to_device(

@@ -1,14 +1,22 @@
-"""``foundation-stereo-calibrate``: interactive chessboard stereo calibration.
+"""``foundation-stereo-calibrate``: chessboard calibration for a stereo rig.
 
-Capability parity with reference calibrate.py: capture pairs on Space
-(requires the board visible in both views), subpixel corner refinement,
-mono calibration x2 -> stereoCalibrate(CALIB_FIX_INTRINSIC) ->
-stereoRectify(CALIB_ZERO_DISPARITY), saved as an .npz with the same key set
-(mtx/dist/R/T/E/F/R1/R2/P1/P2/Q/image_size/rms stats) so calibration files
-are interchangeable with the reference's.
+Produces the ``.npz`` geometry bundle every other live tool consumes
+(intrinsics, distortion, stereo extrinsics, rectification transforms and the
+reprojection matrix Q). The key set matches the reference's calibration
+artifact (/root/reference/src/live_camera/calibrate.py writes the same
+fields), so bundles are interchangeable in both directions.
 
-Adds a non-interactive ``--image-dir`` mode (left_*.png / right_*.png pairs)
-so calibration is scriptable and CI-testable without cameras.
+Two acquisition modes:
+
+- **rig mode** (``--left``/``--right``): live preview with detected corners
+  drawn; press Space to bank a detection, Q/Esc to stop early.
+- **file mode** (``--image-dir``): scans stored ``left_*``/``right_*``
+  pairs — scriptable and CI-testable with rendered boards, no hardware.
+
+The solve itself is the standard OpenCV ladder — per-camera intrinsics,
+then ``stereoCalibrate`` holding intrinsics fixed, then ``stereoRectify``
+with the zero-disparity convention — since those APIs define the artifact's
+semantics.
 """
 
 from __future__ import annotations
@@ -19,224 +27,217 @@ from typing import Any
 
 import numpy as np
 
-from .camera_setup import (
-    CameraConfig,
-    drop_frames,
-    log_camera_info,
-    open_camera,
-    warmup_cameras,
-)
+from .camera_setup import CaptureSettings, StereoRig
+from .io_sources import iter_stereo_pair_paths
+
+# findChessboardCorners emits corners row-major from one fixed board corner;
+# the solver only needs a consistent object-point grid in the same order.
+_SUBPIX_WINDOW = (11, 11)
 
 
-def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="Calibrate stereo USB cameras using a chessboard."
+        description=(
+            "Solve stereo rig geometry from chessboard views and write the "
+            "calibration .npz used by the depth viewers."
+        )
     )
-    parser.add_argument("--left", type=int, default=None, help="Left camera index.")
-    parser.add_argument("--right", type=int, default=None, help="Right camera index.")
-    parser.add_argument(
-        "--image-dir", type=Path, default=None,
-        help="Non-interactive mode: directory of left_*.{png,jpg} / "
-             "right_*.{png,jpg} pairs instead of live cameras.",
-    )
-    parser.add_argument(
-        "--rows", type=int, default=6, help="Inner chessboard corners per column."
-    )
-    parser.add_argument(
-        "--cols", type=int, default=9, help="Inner chessboard corners per row."
-    )
-    parser.add_argument(
-        "--square-size", type=float, required=True,
-        help="Chessboard square size in meters (example: 0.024).",
-    )
-    parser.add_argument(
-        "--samples", type=int, default=25, help="Successful stereo pairs to collect."
-    )
-    parser.add_argument(
-        "--output", type=Path, default=Path("calibration/stereo_calib.npz"),
-        help="Output calibration file.",
-    )
-    parser.add_argument("--width", type=int, default=640, help="Capture width.")
-    parser.add_argument("--height", type=int, default=480, help="Capture height.")
-    parser.add_argument("--fps", type=int, default=15, help="Capture FPS request.")
-    parser.add_argument(
-        "--fourcc", type=str, default="MJPG",
-        help="Requested pixel format (for example: MJPG, YUYV).",
-    )
-    parser.add_argument("--buffer-size", type=int, default=1, help="Capture queue size.")
-    parser.add_argument(
-        "--warmup-frames", type=int, default=20, help="Initial frames to discard."
-    )
-    parser.add_argument(
-        "--drop-frames", type=int, default=1,
-        help="Extra frames to drop each loop to reduce latency.",
-    )
-    parser.add_argument(
-        "--min-pairs", type=int, default=8,
-        help="Minimum valid pairs required to run calibration.",
-    )
-    return parser.parse_args(argv)
+    src = parser.add_argument_group("acquisition")
+    src.add_argument("--left", type=int, default=None,
+                     help="Video index of the left camera (rig mode).")
+    src.add_argument("--right", type=int, default=None,
+                     help="Video index of the right camera (rig mode).")
+    src.add_argument("--image-dir", type=Path, default=None,
+                     help="Read stored left_*/right_* pairs from this "
+                          "directory instead of opening cameras.")
+    src.add_argument("--samples", type=int, default=25,
+                     help="Stop after this many banked detections.")
+    src.add_argument("--min-pairs", type=int, default=8,
+                     help="Refuse to solve with fewer detections than this.")
+
+    board = parser.add_argument_group("chessboard")
+    board.add_argument("--rows", type=int, default=6,
+                       help="Inner-corner count along the short board edge.")
+    board.add_argument("--cols", type=int, default=9,
+                       help="Inner-corner count along the long board edge.")
+    board.add_argument("--square-size", type=float, required=True,
+                       help="Edge length of one board square, in meters.")
+
+    cam = parser.add_argument_group("capture mode (rig mode only)")
+    cam.add_argument("--width", type=int, default=640)
+    cam.add_argument("--height", type=int, default=480)
+    cam.add_argument("--fps", type=int, default=15)
+    cam.add_argument("--fourcc", type=str, default="MJPG",
+                     help="4-char pixel format tag to request.")
+    cam.add_argument("--buffer-size", type=int, default=1)
+    cam.add_argument("--warmup-frames", type=int, default=20)
+    cam.add_argument("--drop-frames", type=int, default=1)
+
+    parser.add_argument("--output", type=Path,
+                        default=Path("calibration/stereo_calib.npz"),
+                        help="Where to write the geometry bundle.")
+    return parser
 
 
-def make_object_points(rows: int, cols: int, square_size: float) -> np.ndarray:
-    grid = np.zeros((rows * cols, 3), np.float32)
-    grid[:, :2] = np.mgrid[0:cols, 0:rows].T.reshape(-1, 2)
-    grid *= square_size
-    return grid
+def board_object_points(rows: int, cols: int, square_size: float) -> np.ndarray:
+    """World-frame corner coordinates of the board, z=0 plane, meters."""
+    xy = np.mgrid[0:cols, 0:rows].T.reshape(-1, 2).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((rows * cols, 1), np.float32)], axis=1)
+    return pts * square_size
 
 
-def find_corners(gray, pattern_size, criteria):
+def _solver_criteria():
     import cv2
 
-    found, corners = cv2.findChessboardCorners(gray, pattern_size, None)
-    if found:
-        corners = cv2.cornerSubPix(gray, corners, (11, 11), (-1, -1), criteria)
-    return found, corners
+    return (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 60, 1e-6)
 
 
-def collect_pairs_from_images(
-    image_dir: Path, pattern_size, criteria, max_pairs: int
-) -> tuple[list, list, tuple[int, int] | None]:
+def detect_board(gray: np.ndarray, pattern_size: tuple[int, int]):
+    """Chessboard detection + sub-pixel refinement. Returns None on miss."""
     import cv2
 
-    lefts = sorted(
-        p for p in image_dir.iterdir()
-        if p.name.startswith("left") and p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    ok, corners = cv2.findChessboardCorners(gray, pattern_size, None)
+    if not ok:
+        return None
+    return cv2.cornerSubPix(
+        gray, corners, _SUBPIX_WINDOW, (-1, -1), _solver_criteria()
     )
-    img_points_l: list = []
-    img_points_r: list = []
-    image_size = None
-    for left_path in lefts:
-        right_path = left_path.with_name(left_path.name.replace("left", "right", 1))
-        if not right_path.exists():
-            continue
+
+
+class DetectionBank:
+    """Accumulates matched left/right corner detections."""
+
+    def __init__(self) -> None:
+        self.left: list[np.ndarray] = []
+        self.right: list[np.ndarray] = []
+        self.image_size: tuple[int, int] | None = None
+
+    def add(self, corners_l, corners_r, image_size) -> None:
+        self.left.append(corners_l)
+        self.right.append(corners_r)
+        self.image_size = image_size
+
+    def __len__(self) -> int:
+        return len(self.left)
+
+
+def bank_from_files(
+    image_dir: Path, pattern_size: tuple[int, int], limit: int
+) -> DetectionBank:
+    import cv2
+
+    bank = DetectionBank()
+    for left_path, right_path in iter_stereo_pair_paths(image_dir):
+        if len(bank) >= limit:
+            break
         gray_l = cv2.imread(str(left_path), cv2.IMREAD_GRAYSCALE)
         gray_r = cv2.imread(str(right_path), cv2.IMREAD_GRAYSCALE)
         if gray_l is None or gray_r is None:
             continue
-        image_size = gray_l.shape[::-1]
-        found_l, corners_l = find_corners(gray_l, pattern_size, criteria)
-        found_r, corners_r = find_corners(gray_r, pattern_size, criteria)
-        if found_l and found_r:
-            img_points_l.append(corners_l)
-            img_points_r.append(corners_r)
-            print(f"Pair OK: {left_path.name} / {right_path.name}")
-        if len(img_points_l) >= max_pairs:
-            break
-    return img_points_l, img_points_r, image_size
-
-
-def collect_pairs_interactive(
-    args: argparse.Namespace, pattern_size, criteria
-) -> tuple[list, list, tuple[int, int] | None]:
-    import cv2
-
-    config = CameraConfig(
-        width=args.width, height=args.height, fps=args.fps, fourcc=args.fourcc,
-        buffer_size=args.buffer_size, warmup_frames=args.warmup_frames,
-        drop_frames=args.drop_frames,
-    )
-    cap_l = open_camera(args.left, config)
-    cap_r = open_camera(args.right, config)
-    if not cap_l.isOpened() or not cap_r.isOpened():
-        raise RuntimeError(
-            "Could not open both cameras. Check indices with "
-            "foundation-stereo-list-cameras."
-        )
-    for label, cap in (("Left", cap_l), ("Right", cap_r)):
-        log_camera_info(label, cap)
-    warmup_cameras((cap_l, cap_r), config.warmup_frames)
-
-    img_points_l: list = []
-    img_points_r: list = []
-    image_size = None
-
-    print("Calibration capture")
-    print("  Space: capture pair when chessboard is found in both views")
-    print("  Q or Esc: quit")
-    print(f"Need {args.samples} valid pairs.")
-
-    while len(img_points_l) < args.samples:
-        drop_frames((cap_l, cap_r), config.drop_frames)
-        ok_l, frame_l = cap_l.read()
-        ok_r, frame_r = cap_r.read()
-        if not ok_l or not ok_r:
+        corners_l = detect_board(gray_l, pattern_size)
+        corners_r = detect_board(gray_r, pattern_size)
+        if corners_l is None or corners_r is None:
+            print(f"  no board in {left_path.name} / {right_path.name}")
             continue
-        if frame_l.shape[:2] != frame_r.shape[:2]:
-            raise RuntimeError(
-                "Camera frame sizes differ: "
-                f"left={frame_l.shape[1::-1]}, right={frame_r.shape[1::-1]}. "
-                "Set a matching format/resolution on both cameras."
-            )
-        gray_l = cv2.cvtColor(frame_l, cv2.COLOR_BGR2GRAY)
-        gray_r = cv2.cvtColor(frame_r, cv2.COLOR_BGR2GRAY)
-        image_size = gray_l.shape[::-1]
-        found_l, corners_l = find_corners(gray_l, pattern_size, criteria)
-        found_r, corners_r = find_corners(gray_r, pattern_size, criteria)
-
-        display_l = frame_l.copy()
-        display_r = frame_r.copy()
-        if found_l:
-            cv2.drawChessboardCorners(display_l, pattern_size, corners_l, found_l)
-        if found_r:
-            cv2.drawChessboardCorners(display_r, pattern_size, corners_r, found_r)
-        combined = np.hstack([display_l, display_r])
-        status = (
-            f"pairs {len(img_points_l)}/{args.samples} | "
-            f"board L:{found_l} R:{found_r}"
-        )
-        cv2.putText(combined, status, (15, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.8,
-                    (50, 240, 50), 2)
-        cv2.imshow("Stereo Calibration (left | right)", combined)
-
-        key = cv2.waitKey(1) & 0xFF
-        if key in (ord("q"), 27):
-            break
-        if key == ord(" ") and found_l and found_r:
-            img_points_l.append(corners_l)
-            img_points_r.append(corners_r)
-            print(f"Captured pair {len(img_points_l)}/{args.samples}")
-
-    cap_l.release()
-    cap_r.release()
-    cv2.destroyAllWindows()
-    return img_points_l, img_points_r, image_size
+        bank.add(corners_l, corners_r, gray_l.shape[::-1])
+        print(f"  banked {left_path.name} ({len(bank)}/{limit})")
+    return bank
 
 
-def calibrate_stereo(
-    objp: np.ndarray,
-    img_points_l: list,
-    img_points_r: list,
-    image_size: tuple[int, int],
-    criteria,
-) -> dict[str, Any]:
+def bank_from_rig(
+    args: argparse.Namespace, pattern_size: tuple[int, int]
+) -> DetectionBank:
     import cv2
 
-    obj_points = [objp.copy() for _ in img_points_l]
-    cv_none: Any = None
-    print("Running mono calibration...")
+    settings = CaptureSettings(
+        width=args.width, height=args.height, fps=args.fps,
+        fourcc=args.fourcc, buffer_size=args.buffer_size,
+        warmup_frames=args.warmup_frames, drop_frames=args.drop_frames,
+    )
+    bank = DetectionBank()
+    window = "calibrate: Space=bank detection, Q/Esc=stop"
+    with StereoRig(args.left, args.right, settings) as rig:
+        print(rig.describe())
+        rig.warmup()
+        print(
+            f"Show the {args.cols}x{args.rows} board to both cameras; "
+            f"collecting up to {args.samples} detections."
+        )
+        while len(bank) < args.samples:
+            ok, frame_l, frame_r = rig.read_pair()
+            if not ok:
+                continue
+            if frame_l.shape != frame_r.shape:
+                raise RuntimeError(
+                    f"Left/right frames disagree in shape ({frame_l.shape} vs "
+                    f"{frame_r.shape}); force both cameras into one mode."
+                )
+            gray_l = cv2.cvtColor(frame_l, cv2.COLOR_BGR2GRAY)
+            gray_r = cv2.cvtColor(frame_r, cv2.COLOR_BGR2GRAY)
+            corners_l = detect_board(gray_l, pattern_size)
+            corners_r = detect_board(gray_r, pattern_size)
+
+            preview = np.hstack([frame_l, frame_r])
+            for corners, x_off in ((corners_l, 0), (corners_r, frame_l.shape[1])):
+                if corners is not None:
+                    shifted = corners + np.array([x_off, 0], np.float32)
+                    cv2.drawChessboardCorners(
+                        preview[:, :], pattern_size, shifted, True
+                    )
+            cv2.putText(
+                preview,
+                f"{len(bank)}/{args.samples} banked"
+                + ("  [board visible]" if corners_l is not None and corners_r is not None else ""),
+                (12, 28), cv2.FONT_HERSHEY_SIMPLEX, 0.75, (60, 220, 60), 2,
+            )
+            cv2.imshow(window, preview)
+            key = cv2.waitKey(1) & 0xFF
+            if key in (ord("q"), 27):
+                break
+            if key == ord(" ") and corners_l is not None and corners_r is not None:
+                bank.add(corners_l, corners_r, gray_l.shape[::-1])
+                print(f"  banked detection {len(bank)}/{args.samples}")
+    cv2.destroyAllWindows()
+    return bank
+
+
+def solve_rig_geometry(
+    object_points: np.ndarray, bank: DetectionBank
+) -> dict[str, Any]:
+    """OpenCV calibration ladder -> geometry bundle dict (npz-ready)."""
+    import cv2
+
+    assert bank.image_size is not None
+    world = [object_points.copy() for _ in range(len(bank))]
+    none: Any = None
+    criteria = _solver_criteria()
+
     rms_l, mtx_l, dist_l, _, _ = cv2.calibrateCamera(
-        obj_points, img_points_l, image_size, cv_none, cv_none
+        world, bank.left, bank.image_size, none, none
     )
     rms_r, mtx_r, dist_r, _, _ = cv2.calibrateCamera(
-        obj_points, img_points_r, image_size, cv_none, cv_none
+        world, bank.right, bank.image_size, none, none
     )
-    print(f"Mono RMS left: {rms_l:.4f}, right: {rms_r:.4f}")
+    print(f"Intrinsics solved (reproj RMS: L={rms_l:.4f} R={rms_r:.4f})")
 
-    print("Running stereo calibration...")
     rms_stereo, _, _, _, _, R, T, E, F = cv2.stereoCalibrate(
-        obj_points, img_points_l, img_points_r,
-        mtx_l, dist_l, mtx_r, dist_r, image_size,
+        world, bank.left, bank.right,
+        mtx_l, dist_l, mtx_r, dist_r, bank.image_size,
         criteria=criteria, flags=cv2.CALIB_FIX_INTRINSIC,
     )
-    print(f"Stereo RMS: {rms_stereo:.4f}")
+    print(f"Extrinsics solved (stereo reproj RMS: {rms_stereo:.4f})")
 
     R1, R2, P1, P2, Q, _, _ = cv2.stereoRectify(
-        mtx_l, dist_l, mtx_r, dist_r, image_size, R, T,
+        mtx_l, dist_l, mtx_r, dist_r, bank.image_size, R, T,
         flags=cv2.CALIB_ZERO_DISPARITY,
     )
+    baseline_m = float(np.linalg.norm(T))
+    print(f"Rig baseline: {baseline_m * 1000:.1f} mm, "
+          f"focal: {P1[0, 0]:.1f} px (rectified)")
+
+    # Same key set as the reference artifact so bundles interoperate.
     return {
-        "image_size": np.array(image_size),
+        "image_size": np.array(bank.image_size),
         "mtx_l": mtx_l, "dist_l": dist_l, "mtx_r": mtx_r, "dist_r": dist_r,
         "R": R, "T": T, "E": E, "F": F,
         "R1": R1, "R2": R2, "P1": P1, "P2": P2, "Q": Q,
@@ -247,40 +248,35 @@ def calibrate_stereo(
 
 
 def main(argv: list[str] | None = None) -> None:
-    import cv2
-
-    args = parse_args(argv)
+    args = build_parser().parse_args(argv)
     pattern_size = (args.cols, args.rows)
-    objp = make_object_points(args.rows, args.cols, args.square_size)
-    criteria = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 60, 1e-6)
+    object_points = board_object_points(args.rows, args.cols, args.square_size)
 
     if args.image_dir is not None:
-        img_points_l, img_points_r, image_size = collect_pairs_from_images(
-            args.image_dir, pattern_size, criteria, args.samples
-        )
+        bank = bank_from_files(args.image_dir, pattern_size, args.samples)
+    elif args.left is not None and args.right is not None:
+        bank = bank_from_rig(args, pattern_size)
     else:
-        if args.left is None or args.right is None:
-            raise SystemExit("Provide --left/--right camera indices or --image-dir.")
-        img_points_l, img_points_r, image_size = collect_pairs_interactive(
-            args, pattern_size, criteria
+        raise SystemExit(
+            "Nothing to calibrate from: pass --image-dir, or both "
+            "--left and --right."
         )
 
-    if len(img_points_l) < args.min_pairs:
+    if len(bank) < args.min_pairs:
         raise RuntimeError(
-            "Not enough pairs for reliable calibration. Capture more samples."
+            f"Only {len(bank)} usable detections (< --min-pairs="
+            f"{args.min_pairs}); the solve would be unstable."
         )
-    if image_size is None:
-        raise RuntimeError("No frames captured.")
 
-    result = calibrate_stereo(objp, img_points_l, img_points_r, image_size, criteria)
-    result.update(
+    bundle = solve_rig_geometry(object_points, bank)
+    bundle.update(
         rows=np.array(args.rows),
         cols=np.array(args.cols),
         square_size=np.array(args.square_size),
     )
     args.output.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(args.output, **result)
-    print(f"Saved calibration to {args.output}")
+    np.savez_compressed(args.output, **bundle)
+    print(f"Geometry bundle written: {args.output}")
 
 
 if __name__ == "__main__":

@@ -45,7 +45,7 @@ from ..training.checkpoint import (
     load_model_variables,
     resolve_checkpoint_path,
 )
-from .camera_setup import CameraConfig
+from .camera_setup import CaptureSettings
 from .io_sources import FrameSource, camera_source, directory_source
 
 COLORMAP_NAMES = ("turbo", "inferno", "magma", "viridis")
@@ -376,12 +376,12 @@ def main(argv: list[str] | None = None) -> None:
     else:
         if args.left is None or args.right is None:
             raise SystemExit("Provide --left/--right camera indices or --input-dir.")
-        config = CameraConfig(
+        settings = CaptureSettings(
             width=args.width, height=args.height, fps=args.fps, fourcc=args.fourcc,
             buffer_size=args.buffer_size, warmup_frames=args.warmup_frames,
             drop_frames=args.drop_frames,
         )
-        source = camera_source(args.left, args.right, config)
+        source = camera_source(args.left, args.right, settings)
 
     if args.headless:
         args.headless_output.mkdir(parents=True, exist_ok=True)
@@ -408,7 +408,9 @@ def main(argv: list[str] | None = None) -> None:
             uncertainty_available = engine.uncertainty_available
             loaded_epoch = engine.loaded_epoch
 
-        prediction, logvar, left_model_rgb, _ = engine.process(frame_l, frame_r)
+        prediction, logvar, left_model_rgb, right_model_rgb = engine.process(
+            frame_l, frame_r
+        )
 
         if args.ema_alpha > 0.0:
             smoothed = (
@@ -455,6 +457,7 @@ def main(argv: list[str] | None = None) -> None:
             args, frame_l, depth_m, vis_map, vis_title, confidence_map,
             center_disparity, center_depth_m, center_confidence, fps,
             loaded_epoch, uncertainty_available, rectifier, frame_r, disparity,
+            left_model_rgb, right_model_rgb,
         )
         import cv2
 
@@ -501,14 +504,34 @@ def _json_float(value: float) -> float | None:
     return float(value) if np.isfinite(value) else None
 
 
+def _model_rgb_to_display_bgr(model_rgb: np.ndarray, capture_hw) -> np.ndarray:
+    """(H,W,3) float RGB model-space view -> capture-size BGR uint8."""
+    import cv2
+
+    u8 = (np.clip(model_rgb, 0.0, 1.0) * 255.0).astype(np.uint8)[..., ::-1]
+    return cv2.resize(
+        u8, (capture_hw[1], capture_hw[0]), interpolation=cv2.INTER_LINEAR
+    )
+
+
 def _render_windows(
     args, frame_l, depth_m, vis_map, vis_title, confidence_map,
     center_disparity, center_depth_m, center_confidence, fps, loaded_epoch,
     uncertainty_available, rectifier, frame_r, disparity,
+    left_model_rgb, right_model_rgb,
 ) -> None:
     import cv2
 
-    view_l = frame_l
+    # When rectification is active, show the rectified views the model
+    # actually consumed (the engine returns them), not the raw captures —
+    # the depth contours are computed in rectified space and would be
+    # misaligned under lens distortion if painted onto raw frames.
+    if rectifier is not None:
+        view_l = _model_rgb_to_display_bgr(left_model_rgb, frame_l.shape[:2])
+        view_r = _model_rgb_to_display_bgr(right_model_rgb, frame_r.shape[:2])
+    else:
+        view_l = frame_l
+        view_r = frame_r
     if depth_m is not None:
         contour_mask = depth_contour_mask(
             depth_m, DEPTH_CONTOUR_STEP_M, DEPTH_VIS_RANGE_M[0], DEPTH_VIS_RANGE_M[1]
@@ -517,7 +540,7 @@ def _render_windows(
             contour_mask, (frame_l.shape[1], frame_l.shape[0]),
             interpolation=cv2.INTER_NEAREST,
         )
-        view_l = frame_l.copy()
+        view_l = view_l.copy() if view_l is frame_l else view_l
         view_l[contour_mask > 0] = DEPTH_CONTOUR_COLOR_BGR
 
     depth_vis = colorize_scalar_map(
@@ -557,7 +580,7 @@ def _render_windows(
     )
     cv2.imshow(
         "Right Camera (Rectified)" if rectifier is not None else "Right Camera",
-        frame_r,
+        view_r,
     )
     cv2.imshow(vis_title, depth_vis)
 

@@ -1,6 +1,6 @@
 """Frame sources for the live viewers: cameras or stored image pairs.
 
-The camera path wraps the UVC capture loop (grab/drop/read); the directory
+The camera path drives a :class:`~.camera_setup.StereoRig`; the directory
 path iterates ``left_*`` / ``right_*`` pairs, which makes every viewer
 runnable headless in CI — a structural upgrade over the reference, whose
 viewers require physical cameras.
@@ -13,54 +13,47 @@ from typing import Iterator
 
 import numpy as np
 
-from .camera_setup import (
-    CameraConfig,
-    drop_frames,
-    log_camera_info,
-    open_camera,
-    warmup_cameras,
-)
+from .camera_setup import CaptureSettings, StereoRig
 
 FrameSource = Iterator[tuple[np.ndarray, np.ndarray]]
 
+_IMAGE_SUFFIXES = (".png", ".jpg", ".jpeg")
+
 
 def camera_source(
-    left_index: int, right_index: int, config: CameraConfig
+    left_index: int, right_index: int, settings: CaptureSettings
 ) -> FrameSource:
-    cap_l = open_camera(left_index, config)
-    cap_r = open_camera(right_index, config)
-    if not cap_l.isOpened() or not cap_r.isOpened():
-        raise RuntimeError("Could not open both cameras.")
-    for label, cap in (("Left", cap_l), ("Right", cap_r)):
-        log_camera_info(label, cap)
-    warmup_cameras((cap_l, cap_r), config.warmup_frames)
-    try:
+    with StereoRig(left_index, right_index, settings) as rig:
+        print(rig.describe())
+        rig.warmup()
         while True:
-            drop_frames((cap_l, cap_r), config.drop_frames)
-            ok_l, frame_l = cap_l.read()
-            ok_r, frame_r = cap_r.read()
-            if not ok_l or not ok_r:
+            ok, frame_l, frame_r = rig.read_pair()
+            if not ok:
                 continue
             yield frame_l, frame_r
-    finally:
-        cap_l.release()
-        cap_r.release()
+
+
+def iter_stereo_pair_paths(input_dir: Path) -> Iterator[tuple[Path, Path]]:
+    """Matched (left_path, right_path) pairs under a directory, by the
+    ``left*``/``right*`` stem convention."""
+    lefts = sorted(
+        p
+        for p in Path(input_dir).iterdir()
+        if p.name.startswith("left") and p.suffix.lower() in _IMAGE_SUFFIXES
+    )
+    if not lefts:
+        raise FileNotFoundError(f"No left_* frames found in {input_dir}")
+    for left_path in lefts:
+        right_path = left_path.with_name(left_path.name.replace("left", "right", 1))
+        if right_path.exists():
+            yield left_path, right_path
 
 
 def directory_source(input_dir: Path) -> FrameSource:
     """Yield BGR pairs from left_*.{png,jpg} / right_*.{png,jpg} files."""
     import cv2
 
-    lefts = sorted(
-        p for p in Path(input_dir).iterdir()
-        if p.name.startswith("left") and p.suffix.lower() in (".png", ".jpg", ".jpeg")
-    )
-    if not lefts:
-        raise FileNotFoundError(f"No left_* frames found in {input_dir}")
-    for left_path in lefts:
-        right_path = left_path.with_name(left_path.name.replace("left", "right", 1))
-        if not right_path.exists():
-            continue
+    for left_path, right_path in iter_stereo_pair_paths(input_dir):
         frame_l = cv2.imread(str(left_path), cv2.IMREAD_COLOR)
         frame_r = cv2.imread(str(right_path), cv2.IMREAD_COLOR)
         if frame_l is None or frame_r is None:

@@ -13,8 +13,10 @@ Loss parity with the reference training loop
 TPU design: the reference boolean-indexes (``predictions[mask]``), which is a
 dynamic shape — illegal under jit. We use ``where``-masked reductions with
 static shapes; XLA fuses the whole thing into the backward pass of the model.
-A batch with zero valid pixels yields loss 0 and zero gradients (the
-reference skips such batches; contributions match because masked sums are 0).
+A batch with zero valid pixels yields loss 0 and zero gradients; the train
+step additionally gates the optimizer/BN update on ``valid_count > 0``
+(parallel/train_step.py) so such a batch is a true no-op, matching the
+reference's batch skip (train.py:330-332).
 """
 
 from __future__ import annotations

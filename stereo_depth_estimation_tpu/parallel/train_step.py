@@ -126,11 +126,22 @@ def _make_step_body(
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # A batch with zero valid pixels must be a no-op like the reference's
+        # batch skip (train.py:330-332): even with zero grads, AdamW's
+        # decoupled weight decay would shrink params and the moments/BN stats
+        # would advance. Select old vs new per-leaf on the valid count.
+        has_valid = stats.valid_count > 0
+
+        def keep_if_valid(new, old):
+            return jnp.where(has_valid, new, old)
+
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
-            batch_stats=new_batch_stats,
-            opt_state=new_opt_state,
+            params=jax.tree.map(keep_if_valid, new_params, state.params),
+            batch_stats=jax.tree.map(
+                keep_if_valid, new_batch_stats, state.batch_stats
+            ),
+            opt_state=jax.tree.map(keep_if_valid, new_opt_state, state.opt_state),
         )
         return new_state, stats
 

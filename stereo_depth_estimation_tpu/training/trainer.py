@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.packed_cache import PackedCache, build_packed_cache
+from ..data.packed_cache import (
+    PackedCache,
+    build_packed_cache,
+    samples_fingerprint,
+)
 from ..data.pipeline import batch_iterator, loader_fetch, prefetch_to_device
 from ..data.dataset import StereoSampleLoader
 from ..data.samples import discover_samples, split_samples
@@ -211,9 +215,29 @@ def _make_fetch(
         require_cache=cfg.require_cache,
     )
     if packed_root is not None:
-        if not (packed_root / "meta.json").exists():
+        fingerprint = samples_fingerprint(samples)
+        meta_path = packed_root / "meta.json"
+        if meta_path.exists():
+            stale = (
+                json.loads(meta_path.read_text()).get("split_fingerprint")
+                != fingerprint
+            )
+            if stale:
+                # Same counts can hide a different split membership (other
+                # seed/val-fraction/max-samples): serving it would leak
+                # train samples into val. Rebuild instead.
+                print(
+                    f"Packed cache at {packed_root} was built for a "
+                    "different sample split; rebuilding."
+                )
+                for name in ("meta.json", "images.bin", "disparity.bin"):
+                    (packed_root / name).unlink(missing_ok=True)
+        if not meta_path.exists():
             print(f"Building packed cache at {packed_root} ...")
-            build_packed_cache(loader, packed_root, progress=True)
+            build_packed_cache(
+                loader, packed_root, progress=True,
+                extra_meta={"split_fingerprint": fingerprint},
+            )
         cache = PackedCache(packed_root)
         if len(cache) != len(samples):
             raise ValueError(
@@ -221,7 +245,7 @@ def _make_fetch(
                 "rebuild with a fresh --packed-cache-root."
             )
         return cache.gather, len(cache)
-    return loader_fetch(loader), len(loader)
+    return loader_fetch(loader, num_workers=cfg.num_workers), len(loader)
 
 
 def train(cfg: TrainConfig) -> dict[str, Any]:

@@ -154,8 +154,9 @@ def test_calibrate_stereo_recovers_geometry() -> None:
     """Feed synthetic projected chessboard points through the calibration
     pipeline; recovered baseline must match the ground-truth rig."""
     from stereo_depth_estimation_tpu.live.calibrate import (
-        calibrate_stereo,
-        make_object_points,
+        DetectionBank,
+        board_object_points,
+        solve_rig_geometry,
     )
     from stereo_depth_estimation_tpu.ops.geometry import estimate_baseline_m
 
@@ -164,9 +165,9 @@ def test_calibrate_stereo_recovers_geometry() -> None:
     K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]])
     dist = np.zeros(5)
     baseline = 0.07
-    objp = make_object_points(4, 5, 0.03)
+    objp = board_object_points(4, 5, 0.03)
 
-    img_l, img_r = [], []
+    bank = DetectionBank()
     for _ in range(10):
         rvec = rng.uniform(-0.25, 0.25, 3)
         tvec = np.array([
@@ -177,11 +178,9 @@ def test_calibrate_stereo_recovers_geometry() -> None:
         tvec_r = tvec.copy()
         tvec_r[0] -= baseline  # right camera displaced along +x
         pr, _ = cv2.projectPoints(objp, rvec, tvec_r, K, dist)
-        img_l.append(pl.astype(np.float32))
-        img_r.append(pr.astype(np.float32))
+        bank.add(pl.astype(np.float32), pr.astype(np.float32), (w, h))
 
-    criteria = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 60, 1e-6)
-    result = calibrate_stereo(objp, img_l, img_r, (w, h), criteria)
+    result = solve_rig_geometry(objp, bank)
     assert float(result["stereo_rms"]) < 1.0
     est = estimate_baseline_m(result["P1"], result["P2"], result["T"])
     assert abs(est - baseline) / baseline < 0.05
@@ -217,17 +216,27 @@ def test_checkpoint_watcher_reloads_on_mtime_change(
     assert engine.loaded_epoch == 9
 
 
-def test_camera_config_fourcc_validation() -> None:
+def test_capture_settings_fourcc_roundtrip_and_validation() -> None:
     from stereo_depth_estimation_tpu.live.camera_setup import (
-        CameraConfig,
-        configure_camera,
-        decode_fourcc,
+        CaptureSettings,
+        apply_capture_settings,
+        fourcc_int,
+        fourcc_str,
     )
 
     class FakeCap:
-        def set(self, *a):
-            pass
+        def __init__(self):
+            self.calls = []
+
+        def set(self, prop, value):
+            self.calls.append((prop, value))
 
     with pytest.raises(ValueError, match="4 characters"):
-        configure_camera(FakeCap(), CameraConfig(640, 480, 30, fourcc="bad"))
-    assert decode_fourcc(float(cv2.VideoWriter.fourcc(*"MJPG"))) == "MJPG"
+        apply_capture_settings(FakeCap(), CaptureSettings(640, 480, 30, fourcc="bad"))
+    assert fourcc_str(float(fourcc_int("mjpg"))) == "MJPG"
+    assert fourcc_str(float(cv2.VideoWriter.fourcc(*"YUYV"))) == "YUYV"
+
+    cap = FakeCap()
+    apply_capture_settings(cap, CaptureSettings(640, 480, 30))
+    assert len(cap.calls) == 9  # format, geometry, fps, queue, automation
+    assert cap.calls[1][1] == 640.0 and cap.calls[2][1] == 480.0
