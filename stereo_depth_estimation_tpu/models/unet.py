@@ -4,7 +4,10 @@ Capability parity with the reference architecture
 (/root/reference/src/foundation_stereo_depth/model.py:32-104): ConvBlock =
 (Conv3x3 no-bias -> BatchNorm -> ReLU) x2; 6->32->64->128->256->512 channels;
 MaxPool(2) downsampling; ConvTranspose(k2,s2) upsampling with skip concat;
-``softplus`` disparity head; logvar head clamped to [-6, 3]. ~8.6M params.
+``softplus`` disparity head; logvar head clamped to [-6, 3]. 7,763,938
+params at the default base=32 (verified against the torch-spec twin in
+tests/test_model.py; the reference README's "~8.6M" rounds a different
+config).
 
 TPU-first design choices (not a port):
 - NHWC layout end-to-end: channels-last is XLA's native TPU conv layout, so

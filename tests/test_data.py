@@ -197,3 +197,14 @@ def test_prefetch_propagates_errors() -> None:
     next(gen)
     with pytest.raises(RuntimeError, match="boom"):
         list(gen)
+
+
+def test_samples_fingerprint_is_order_and_membership_sensitive(tmp_path: Path) -> None:
+    from stereo_depth_estimation_tpu.data.packed_cache import samples_fingerprint
+
+    _make_scene(tmp_path, "s1", ["a", "b", "c"], shape=(4, 8))
+    samples = discover_samples(tmp_path)
+    fp = samples_fingerprint(samples)
+    assert fp == samples_fingerprint(list(samples))  # deterministic
+    assert fp != samples_fingerprint(samples[::-1])  # order-sensitive
+    assert fp != samples_fingerprint(samples[:-1])  # membership-sensitive

@@ -99,7 +99,7 @@ def test_param_count_matches(models_and_input) -> None:
     assert count_params(variables["params"]) == n_torch
 
 
-def test_full_size_param_count_is_8_6m() -> None:
+def test_full_size_param_count() -> None:
     fmodel = StereoUNet()
     variables = jax.eval_shape(
         lambda: fmodel.init(jax.random.key(0), jnp.zeros((1, 16, 16, 6)), train=False, return_uncertainty=True)

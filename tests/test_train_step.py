@@ -192,3 +192,76 @@ def test_eval_step_is_deterministic_and_uses_running_stats() -> None:
     s1 = eval_step(state, batch)
     s2 = eval_step(state, batch)
     assert float(s1.nll_sum) == float(s2.nll_sum)
+
+
+def test_zero_valid_batch_is_noop() -> None:
+    """A batch whose every target pixel is invalid must leave params,
+    optimizer state and BN stats untouched (reference skips such batches,
+    train.py:330-332; AdamW weight decay would otherwise shrink params)."""
+    rng = np.random.default_rng(6)
+    model, tx, state = _tiny_setup()
+    step = make_train_step(model, tx)
+    b = _synthetic_batch(rng, 4)
+    b["target"] = np.zeros_like(b["target"])  # all invalid (target > 0 mask)
+    before = jax.tree.map(np.asarray, (state.params, state.opt_state, state.batch_stats))
+    state, stats = step(state, {k: jnp.asarray(v) for k, v in b.items()})
+    assert int(stats.valid_count) == 0
+    after = jax.tree.map(np.asarray, (state.params, state.opt_state, state.batch_stats))
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+    assert int(state.step) == 1  # the step counter still advances
+
+
+def test_indivisible_batch_pads_and_masks_on_mesh() -> None:
+    """Reference-default-style indivisible batches (e.g. 30 on 8 devices)
+    must shard via pad-and-mask with exact masked metrics."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from stereo_depth_estimation_tpu.parallel.mesh import pad_batch_for_mesh
+
+    rng = np.random.default_rng(7)
+    b = _synthetic_batch(rng, 30)
+
+    padded = pad_batch_for_mesh(dict(b), 8)
+    assert padded["input"].shape[0] == 32
+    assert padded["valid_mask"][30:].sum() == 0  # pad rows contribute nothing
+    np.testing.assert_array_equal(padded["input"][:30], b["input"])
+    np.testing.assert_array_equal(padded["input"][30], b["input"][0])  # wraps
+
+    model, tx, state = _tiny_setup()
+    mesh = make_mesh()
+    eval_step = make_eval_step(model)
+
+    # Eval on the padded mesh batch == eval on the raw batch, exactly:
+    # eval-mode BN uses running stats, and all metric sums are masked.
+    stats_single = eval_step(state, {k: jnp.asarray(v) for k, v in b.items()})
+    state8 = replicate_to_mesh(state, mesh)
+    stats_mesh = eval_step(state8, shard_batch_to_mesh(dict(b), mesh))
+    assert int(stats_mesh.valid_count) == int(stats_single.valid_count)
+    np.testing.assert_allclose(
+        float(stats_mesh.nll_sum), float(stats_single.nll_sum), rtol=1e-5
+    )
+
+    # And the train step runs (BN batch stats see the wrapped pad images,
+    # documented deviation) with the same masked pixel count.
+    step = make_train_step(model, tx)
+    state8, tstats = step(state8, shard_batch_to_mesh(dict(b), mesh))
+    assert int(tstats.valid_count) == int(stats_single.valid_count)
+    assert np.isfinite(float(tstats.nll_sum))
+
+
+def test_loader_fetch_thread_pool_matches_serial() -> None:
+    from stereo_depth_estimation_tpu.data.pipeline import loader_fetch
+
+    class FakeLoader:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            x = np.full((4, 4, 6), i, np.float32)
+            return {"input": x, "target": x[..., 0]}
+
+    idx = np.array([3, 1, 7, 0])
+    serial = loader_fetch(FakeLoader())(idx)
+    pooled = loader_fetch(FakeLoader(), num_workers=3)(idx)
+    np.testing.assert_array_equal(serial["input"], pooled["input"])
+    np.testing.assert_array_equal(serial["target"], pooled["target"])
