@@ -81,6 +81,26 @@ def shard_batch_to_mesh(
 
 
 def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Works on multi-process global meshes too: there ``device_put`` can't
+    target non-addressable devices, so each process contributes its full
+    local copy via ``make_array_from_process_local_data`` (every host holds
+    identical values — same seed, same init)."""
     sharding = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    import jax.numpy as jnp
+
+    def replicate(x: Any) -> Any:
+        if isinstance(x, jax.Array) and jnp.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            data = jax.make_array_from_process_local_data(
+                sharding, np.asarray(jax.random.key_data(x))
+            )
+            return jax.random.wrap_key_data(data)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(replicate, tree)

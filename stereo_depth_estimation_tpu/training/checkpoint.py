@@ -47,27 +47,35 @@ def save_checkpoint(
     metrics: dict[str, float],
 ) -> Path:
     """Write ``<checkpoint_dir>/<name>/`` (orbax state + meta.json), atomically
-    replacing any previous checkpoint of that name."""
+    replacing any previous checkpoint of that name.
+
+    Multihost: every process must call this (orbax's save coordinates across
+    processes internally); filesystem bookkeeping — tmp dir, meta.json, the
+    atomic rename — happens on process 0 only, which assumes the checkpoint
+    directory is on a filesystem process 0 can reach (shared FS on pods)."""
+    main = jax.process_index() == 0
     target = Path(checkpoint_dir) / name
     tmp = target.with_name(target.name + ".tmp")
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    tmp.mkdir(parents=True)
+    if main:
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
 
     state = jax.device_get(_to_serializable(state))
     with ocp.StandardCheckpointer() as checkpointer:
-        checkpointer.save((tmp / _STATE_SUBDIR).resolve(), state)
-    (tmp / "meta.json").write_text(
-        json.dumps(
-            {"epoch": epoch, "config": config, "metrics": metrics,
-             "format": "sde-tpu-orbax-v1"},
-            indent=2,
-            default=str,
+        checkpointer.save((tmp / _STATE_SUBDIR).resolve(), state, force=True)
+    if main:
+        (tmp / "meta.json").write_text(
+            json.dumps(
+                {"epoch": epoch, "config": config, "metrics": metrics,
+                 "format": "sde-tpu-orbax-v1"},
+                indent=2,
+                default=str,
+            )
         )
-    )
-    if target.exists():
-        shutil.rmtree(target)
-    tmp.rename(target)
+        if target.exists():
+            shutil.rmtree(target)
+        tmp.rename(target)
     return target
 
 

@@ -52,6 +52,10 @@ class TrainConfig:
     resume: str | None = None  # checkpoint dir to resume from (superset of ref)
     log_every_batches: int = 10  # MLFLOW_TRAIN_LOG_EVERY_BATCHES (train.py:23)
     preview_samples: int = 8  # MLFLOW_PREVIEW_SAMPLES (train.py:24)
+    multihost: bool = False  # join a multi-process (multi-host) runtime
+    coordinator_address: str | None = None  # host:port (auto on TPU pods)
+    num_processes: int | None = None  # process count (auto on TPU pods)
+    process_id: int | None = None  # this process's id (auto on TPU pods)
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -131,6 +135,15 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         help="Step-metric logging cadence in training batches.")
     add("--preview-samples", type=int, default=defaults.preview_samples,
         help="Fixed preview sample count logged each epoch.")
+    add("--multihost", action="store_true",
+        help="Join a multi-process runtime (jax.distributed.initialize); "
+             "every host runs this same command.")
+    add("--coordinator-address", type=str, default=None,
+        help="host:port of process 0 (multihost; auto-detected on TPU pods).")
+    add("--num-processes", type=int, default=None,
+        help="Total process count (multihost; auto-detected on TPU pods).")
+    add("--process-id", type=int, default=None,
+        help="This process's id (multihost; auto-detected on TPU pods).")
     namespace = parser.parse_args(argv)
     values = vars(namespace)
     known = {f.name for f in fields(TrainConfig)}

@@ -38,6 +38,11 @@ from ..eval.preview import save_preview_montage
 from ..models.unet import StereoUNet, count_params
 from ..ops.augment import AugmentConfig
 from ..ops.loss import LossStats, accumulate_stats, metrics_from_stats
+from ..parallel.distributed import (
+    MultihostBatcher,
+    initialize_multihost,
+    is_main_process,
+)
 from ..parallel.mesh import make_mesh, replicate_to_mesh, shard_batch_to_mesh
 from ..parallel.train_step import (
     TrainState,
@@ -154,13 +159,14 @@ def run_train_epoch(
     interval: LossStats | None = None
     iterator = batches
     bar = None
-    try:
-        from tqdm import tqdm
+    if progress_desc is not None:
+        try:
+            from tqdm import tqdm
 
-        bar = tqdm(batches, leave=False, desc=progress_desc)
-        iterator = bar
-    except ImportError:
-        pass
+            bar = tqdm(batches, leave=False, desc=progress_desc)
+            iterator = bar
+        except ImportError:
+            pass
 
     for batch in iterator:
         global_step += 1
@@ -205,9 +211,13 @@ def run_eval_epoch(eval_fn, state: TrainState, batches: Iterator[Any]) -> dict[s
 
 
 def _make_fetch(
-    cfg: TrainConfig, samples, packed_root: Path | None
+    cfg: TrainConfig, samples, packed_root: Path | None,
+    main_process: bool = True,
 ) -> tuple[Callable[[np.ndarray], dict[str, np.ndarray]], int]:
-    """Pick the packed fast path when requested, else the npz/PIL loader."""
+    """Pick the packed fast path when requested, else the npz/PIL loader.
+
+    In multihost runs only process 0 (re)builds a packed cache; followers
+    wait for its manifest, so hosts sharing a filesystem don't race."""
     loader = StereoSampleLoader(
         samples,
         image_size=(cfg.height, cfg.width),
@@ -217,6 +227,16 @@ def _make_fetch(
     if packed_root is not None:
         fingerprint = samples_fingerprint(samples)
         meta_path = packed_root / "meta.json"
+        if not main_process:
+            deadline = time.time() + 3600.0
+            while not meta_path.exists():
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"Timed out waiting for process 0 to build {packed_root}"
+                    )
+                time.sleep(1.0)
+            cache = PackedCache(packed_root)
+            return cache.gather, len(cache)
         if meta_path.exists():
             stale = (
                 json.loads(meta_path.read_text()).get("split_fingerprint")
@@ -248,11 +268,49 @@ def _make_fetch(
     return loader_fetch(loader, num_workers=cfg.num_workers), len(loader)
 
 
+class _NullRun:
+    """Tracking sink for non-main processes in multihost runs: every host
+    executes the same program, but only process 0 records anything."""
+
+    run_id = "multihost-follower"
+    backend = "null"
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def log_params(self, *a, **k):
+        pass
+
+    def log_metrics(self, *a, **k):
+        pass
+
+    def log_artifact(self, *a, **k):
+        pass
+
+    def log_artifacts(self, *a, **k):
+        pass
+
+    def set_tag(self, *a, **k):
+        pass
+
+
 def train(cfg: TrainConfig) -> dict[str, Any]:
     set_seed(cfg.seed)
+    if cfg.multihost:
+        initialize_multihost(
+            cfg.coordinator_address, cfg.num_processes, cfg.process_id
+        )
+    main_process = is_main_process()
     devices = resolve_devices(cfg.device, cfg.mesh_devices)
     mesh = make_mesh(devices)
-    print(f"Using {len(devices)} device(s): {devices[0].platform} mesh={mesh.shape}")
+    if main_process:
+        print(
+            f"Using {len(devices)} device(s): {devices[0].platform} "
+            f"mesh={mesh.shape} processes={jax.process_count()}"
+        )
 
     all_samples = discover_samples(cfg.dataset_root)
     if cfg.max_samples > 0:
@@ -264,17 +322,22 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     train_samples, val_samples = split_samples(
         all_samples, cfg.val_fraction, cfg.seed
     )
-    print(
-        f"Discovered {len(all_samples)} samples: "
-        f"train={len(train_samples)}, val={len(val_samples)}"
-    )
+    if main_process:
+        print(
+            f"Discovered {len(all_samples)} samples: "
+            f"train={len(train_samples)}, val={len(val_samples)}"
+        )
 
     packed_base = Path(cfg.packed_cache_root) if cfg.packed_cache_root else None
     train_fetch, n_train = _make_fetch(
-        cfg, train_samples, packed_base / "train" if packed_base else None
+        cfg, train_samples, packed_base / "train" if packed_base else None,
+        main_process,
     )
     val_fetch, n_val = (
-        _make_fetch(cfg, val_samples, packed_base / "val" if packed_base else None)
+        _make_fetch(
+            cfg, val_samples, packed_base / "val" if packed_base else None,
+            main_process,
+        )
         if val_samples
         else (None, 0)
     )
@@ -282,6 +345,14 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     preview_source = val_samples if val_samples else train_samples
     preview_split = "val" if val_samples else "train"
     preview_count = min(cfg.preview_samples, len(preview_source))
+    if cfg.multihost and jax.process_count() > 1 and preview_count > 0:
+        # Preview inference from one process on globally-sharded state would
+        # violate SPMD (collective deadlock); montages need a gather path
+        # that isn't worth it for a debug artifact. Train/val metrics and
+        # checkpoints are unaffected.
+        if main_process:
+            print("Preview montages are disabled in multihost runs.")
+        preview_count = 0
 
     model = StereoUNet(
         in_channels=6,
@@ -297,37 +368,57 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     if cfg.resume:
         state, meta = load_train_state(Path(cfg.resume), state)
         start_epoch = int(meta.get("epoch", 0)) + 1
-        print(f"Resumed from {cfg.resume} at epoch {start_epoch - 1}.")
+        if main_process:
+            print(f"Resumed from {cfg.resume} at epoch {start_epoch - 1}.")
     state = replicate_to_mesh(state, mesh)
 
     train_step = make_train_step(model, tx, augment_config_from(cfg))
     eval_step = make_eval_step(model)
     predict = make_predict_fn(model)
 
-    def put(batch: dict[str, np.ndarray]) -> Any:
-        return shard_batch_to_mesh(batch, mesh)
+    if cfg.multihost and jax.process_count() > 1:
+        # Each host decodes only its stripe of every global batch and the
+        # global array is assembled device-side — batches leave
+        # MultihostBatcher already sharded, so device placement is identity.
+        train_fetch = MultihostBatcher(train_fetch, mesh)
+        if val_fetch is not None:
+            val_fetch = MultihostBatcher(val_fetch, mesh)
 
-    run = TrackingRun(cfg.mlflow_tracking_uri, cfg.mlflow_experiment, cfg.run_name)
+        def put(batch: Any) -> Any:
+            return batch
+    else:
+        def put(batch: dict[str, np.ndarray]) -> Any:
+            return shard_batch_to_mesh(batch, mesh)
+
+    run: Any = (
+        TrackingRun(cfg.mlflow_tracking_uri, cfg.mlflow_experiment, cfg.run_name)
+        if main_process
+        else _NullRun()
+    )
     summary: dict[str, Any] = {}
     with run:
         run_id = run.run_id
         output_dir = Path(cfg.output_dir).expanduser().resolve() / run_id
         checkpoints_dir = output_dir / "checkpoints"
-        checkpoints_dir.mkdir(parents=True, exist_ok=True)
         preview_root = output_dir / "mlflow_previews"
-        preview_root.mkdir(parents=True, exist_ok=True)
-        config_path = output_dir / "config.json"
-        config_path.write_text(json.dumps(asdict(cfg), indent=2), encoding="utf-8")
-
-        run.log_params(
-            tracking_params(cfg, len(train_samples), len(val_samples), num_parameters)
-        )
-        run.log_artifact(config_path, artifact_path="config")
-        if preview_count > 0:
-            print(
-                f"Previews: logging {preview_count} fixed {preview_split} "
-                "samples each epoch."
+        if main_process:
+            checkpoints_dir.mkdir(parents=True, exist_ok=True)
+            preview_root.mkdir(parents=True, exist_ok=True)
+            config_path = output_dir / "config.json"
+            config_path.write_text(
+                json.dumps(asdict(cfg), indent=2), encoding="utf-8"
             )
+            run.log_params(
+                tracking_params(
+                    cfg, len(train_samples), len(val_samples), num_parameters
+                )
+            )
+            run.log_artifact(config_path, artifact_path="config")
+            if preview_count > 0:
+                print(
+                    f"Previews: logging {preview_count} fixed {preview_split} "
+                    "samples each epoch."
+                )
 
         best_val_mae = float("inf")
         best_epoch = -1
@@ -350,7 +441,7 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                 run=run,
                 global_step=global_step,
                 log_every_batches=cfg.log_every_batches,
-                progress_desc=f"epoch {epoch}",
+                progress_desc=f"epoch {epoch}" if main_process else None,
             )
             if val_fetch is not None:
                 val_batches = prefetch_to_device(
@@ -378,7 +469,7 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                 )
             run.log_metrics(epoch_metrics, step=epoch)
 
-            if preview_count > 0:
+            if main_process and preview_count > 0:
                 previews_dir = preview_root / f"epoch_{epoch:04d}"
                 log_epoch_previews(
                     predict, state, cfg, preview_source[:preview_count], previews_dir
@@ -387,6 +478,8 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                     previews_dir, artifact_path=f"previews/epoch_{epoch:04d}"
                 )
 
+            # Every process calls save (orbax coordinates multihost saves
+            # internally); only process 0 touches the filesystem.
             save_checkpoint(
                 checkpoints_dir, "last", state,
                 epoch=epoch, config=asdict(cfg), metrics=epoch_metrics,
@@ -399,7 +492,9 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                     epoch=epoch, config=asdict(cfg), metrics=epoch_metrics,
                 )
 
-            if val_fetch is not None:
+            if not main_process:
+                pass
+            elif val_fetch is not None:
                 print(
                     f"Epoch {epoch}/{cfg.epochs}: "
                     f"train_mae={train_metrics['mae']:.4f}, "
@@ -417,9 +512,10 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         run.set_tag("best_epoch", best_epoch)
         run.set_tag("best_val_mae", best_val_mae)
 
-        print(f"Run: {run_id} (tracking backend: {run.backend})")
-        print(f"Best validation MAE: {best_val_mae:.4f} at epoch {best_epoch}")
-        print(f"Checkpoints saved to: {checkpoints_dir}")
+        if main_process:
+            print(f"Run: {run_id} (tracking backend: {run.backend})")
+            print(f"Best validation MAE: {best_val_mae:.4f} at epoch {best_epoch}")
+            print(f"Checkpoints saved to: {checkpoints_dir}")
         summary = {
             "run_id": run_id,
             "best_epoch": best_epoch,
