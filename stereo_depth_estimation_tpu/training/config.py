@@ -52,6 +52,8 @@ class TrainConfig:
     resume: str | None = None  # checkpoint dir to resume from (superset of ref)
     log_every_batches: int = 10  # MLFLOW_TRAIN_LOG_EVERY_BATCHES (train.py:23)
     preview_samples: int = 8  # MLFLOW_PREVIEW_SAMPLES (train.py:24)
+    profile_dir: str | None = None  # arm a jax.profiler trace of early steps
+    profile_steps: int = 10  # batches to capture when --profile-dir is set
     multihost: bool = False  # join a multi-process (multi-host) runtime
     coordinator_address: str | None = None  # host:port (auto on TPU pods)
     num_processes: int | None = None  # process count (auto on TPU pods)
@@ -135,6 +137,11 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         help="Step-metric logging cadence in training batches.")
     add("--preview-samples", type=int, default=defaults.preview_samples,
         help="Fixed preview sample count logged each epoch.")
+    add("--profile-dir", type=str, default=None,
+        help="Capture a jax.profiler trace of early training batches here "
+             "(view with TensorBoard's profile plugin).")
+    add("--profile-steps", type=int, default=defaults.profile_steps,
+        help="Training batches to capture when --profile-dir is set.")
     add("--multihost", action="store_true",
         help="Join a multi-process runtime (jax.distributed.initialize); "
              "every host runs this same command.")

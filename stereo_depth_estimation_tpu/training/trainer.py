@@ -54,6 +54,7 @@ from ..parallel.train_step import (
 )
 from .checkpoint import load_train_state, save_checkpoint
 from .config import TrainConfig, parse_args
+from .profiling import StepProfiler
 from .tracking import TrackingRun
 
 
@@ -154,6 +155,7 @@ def run_train_epoch(
     global_step: int,
     log_every_batches: int,
     progress_desc: str | None = None,
+    profiler: "StepProfiler | None" = None,
 ) -> tuple[TrainState, dict[str, float], int]:
     total: LossStats | None = None
     interval: LossStats | None = None
@@ -170,6 +172,8 @@ def run_train_epoch(
 
     for batch in iterator:
         global_step += 1
+        if profiler is not None:
+            profiler.step()
         state, stats = step_fn(state, batch)
         total = accumulate_stats(total, stats)
         interval = accumulate_stats(interval, stats)
@@ -423,6 +427,9 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         best_val_mae = float("inf")
         best_epoch = -1
         global_step = 0
+        profiler = StepProfiler(
+            cfg.profile_dir if main_process else None, cfg.profile_steps
+        )
 
         for epoch in range(start_epoch, cfg.epochs + 1):
             start_time = time.time()
@@ -442,7 +449,9 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                 global_step=global_step,
                 log_every_batches=cfg.log_every_batches,
                 progress_desc=f"epoch {epoch}" if main_process else None,
+                profiler=profiler,
             )
+            profiler.stop()  # flush even if the epoch was shorter than asked
             if val_fetch is not None:
                 val_batches = prefetch_to_device(
                     batch_iterator(val_fetch, n_val, cfg.batch_size), put=put
