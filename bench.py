@@ -115,6 +115,7 @@ def main() -> None:
     _ = float(np.asarray(stats.nll_sum))
 
     steps = 0
+    windows = 0
     start = time.perf_counter()
     while steps < MAX_BENCH_STEPS:
         state, stats = step(state)
@@ -122,8 +123,16 @@ def main() -> None:
         if steps % 64 == 0:
             # Sync so elapsed reflects completed work, then check the budget.
             _ = float(np.asarray(stats.nll_sum))
+            windows += 1
             elapsed = time.perf_counter() - start
             _log(f"measured {steps} steps in {elapsed:.1f}s")
+            if windows == 1:
+                # Discard the first window: on this platform the first
+                # post-compile measurement can read 3-5x slow (server-side
+                # warmup), poisoning the mean.
+                steps = 0
+                start = time.perf_counter()
+                continue
             if elapsed > MEASURE_SECONDS:
                 break
     _ = float(np.asarray(stats.nll_sum))
