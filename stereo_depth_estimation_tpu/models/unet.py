@@ -72,9 +72,15 @@ class BatchNorm(nn.Module):
                     (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
 
+        # Statistics above are always float32; the per-pixel normalisation
+        # runs in compute_dtype. Under bfloat16 this keeps activations in
+        # bf16 end-to-end (f32 normalisation would materialise full-res f32
+        # intermediates around every conv); the (C,)-shaped mean/inv casts
+        # are free.
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
-        return y.astype(self.compute_dtype)
+        cd = self.compute_dtype
+        y = (x.astype(cd) - mean.astype(cd)) * inv.astype(cd) + bias.astype(cd)
+        return y
 
 
 class ConvBlock(nn.Module):

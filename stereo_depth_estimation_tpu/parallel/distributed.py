@@ -85,21 +85,31 @@ class MultihostBatcher:
         mesh: Mesh,
         axis_name: str = DATA_AXIS,
     ) -> None:
+        from .mesh import SPATIAL_AXIS, batch_sharding
+
+        if SPATIAL_AXIS in mesh.axis_names:
+            raise NotImplementedError(
+                "multihost + spatial sharding is not supported yet: per-host "
+                "stripe feeding assumes each process addresses full-height "
+                "batch rows. Use spatial sharding single-host, or plain DP "
+                "multihost."
+            )
         self.fetch = fetch
         self.mesh = mesh
-        self.sharding = NamedSharding(mesh, P(axis_name))
+        self.n_data = dict(mesh.shape)[axis_name]
+        self.sharding = batch_sharding(mesh, axis_name)
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
-        if mesh.size % self.process_count != 0:
+        if self.n_data % self.process_count != 0:
             raise ValueError(
-                f"mesh of {mesh.size} devices does not divide across "
-                f"{self.process_count} processes"
+                f"batch ('data') mesh axis of {self.n_data} does not divide "
+                f"across {self.process_count} processes"
             )
 
     def __call__(self, global_indices: np.ndarray) -> dict[str, jax.Array]:
         global_indices = np.asarray(global_indices)
         n = len(global_indices)
-        pad = (-n) % self.mesh.size
+        pad = (-n) % self.n_data
         # Modular tiling, not a slice: pad can exceed n (a 1-sample val
         # batch on an 8-device mesh pads by 7).
         padded = global_indices[np.arange(n + pad) % n]

@@ -18,17 +18,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
-def make_mesh(devices: list[Any] | None = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over the given (default: all) devices."""
+def make_mesh(
+    devices: list[Any] | None = None,
+    axis_name: str = DATA_AXIS,
+    spatial: int = 1,
+) -> Mesh:
+    """Device mesh for training: 1-D ``(data,)`` by default, or a 2-D
+    ``(data, spatial)`` mesh when ``spatial > 1``.
+
+    On the 2-D mesh the batch axis shards over ``data`` and image HEIGHT
+    shards over ``spatial`` — XLA's SPMD partitioner inserts the halo
+    exchanges 3x3 convolutions need at shard edges, so the model code is
+    unchanged. This is the honest analog of sequence parallelism for this
+    workload (SURVEY.md §2): it scales the resolution axis when one chip's
+    HBM can't hold full-resolution activations.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if spatial <= 1:
+        return Mesh(devices, (axis_name,))
+    if len(devices) % spatial != 0:
+        raise ValueError(
+            f"{len(devices)} devices do not factor into spatial={spatial}"
+        )
+    return Mesh(
+        devices.reshape(len(devices) // spatial, spatial),
+        (axis_name, SPATIAL_AXIS),
+    )
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Leading-axis sharding for batched arrays."""
+    """Sharding for batched NHW[C] arrays: batch over ``data``; on a 2-D
+    mesh, height additionally over ``spatial``."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(axis_name, SPATIAL_AXIS))
     return NamedSharding(mesh, P(axis_name))
 
 
@@ -73,9 +100,9 @@ def shard_batch_to_mesh(
     Dict batches with an indivisible leading axis are pad-and-masked first
     (see ``pad_batch_for_mesh``); set ``pad=False`` to require divisibility.
     """
-    n_devices = mesh.size
-    if pad and n_devices > 1 and isinstance(batch, dict) and "target" in batch:
-        batch = pad_batch_for_mesh(batch, n_devices)
+    n_data = dict(mesh.shape)[axis_name]
+    if pad and n_data > 1 and isinstance(batch, dict) and "target" in batch:
+        batch = pad_batch_for_mesh(batch, n_data)
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

@@ -47,6 +47,7 @@ class TrainConfig:
     blur_kernel_size: int = 5
     # --- TPU-native additions (no reference counterpart) ---
     mesh_devices: int = 0  # 0 = all visible devices (data-parallel axis)
+    spatial_devices: int = 1  # >1: shard image height over a 2nd mesh axis
     compute_dtype: str = "bfloat16"  # MXU-friendly; "float32" for parity runs
     packed_cache_root: str | None = None  # fast-path packed array cache
     resume: str | None = None  # checkpoint dir to resume from (superset of ref)
@@ -127,6 +128,10 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
     # TPU-native flags
     add("--mesh-devices", type=int, default=defaults.mesh_devices,
         help="Data-parallel mesh size (0 = all visible devices).")
+    add("--spatial-devices", type=int, default=defaults.spatial_devices,
+        help="Shard image height over this many devices (2-D data x spatial "
+             "mesh; XLA inserts conv halo exchanges). For resolutions whose "
+             "activations exceed one chip's HBM.")
     add("--compute-dtype", type=str, default=defaults.compute_dtype,
         choices=("bfloat16", "float32"), help="Network compute dtype.")
     add("--packed-cache-root", type=str, default=None,

@@ -114,6 +114,7 @@ def tracking_params(
         "compile": True,  # the step is always jit-compiled on XLA
         "compute_dtype": cfg.compute_dtype,
         "mesh_devices": cfg.mesh_devices,
+        "spatial_devices": cfg.spatial_devices,
     }
     if cfg.augment:
         params.update(
@@ -309,7 +310,7 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         )
     main_process = is_main_process()
     devices = resolve_devices(cfg.device, cfg.mesh_devices)
-    mesh = make_mesh(devices)
+    mesh = make_mesh(devices, spatial=cfg.spatial_devices)
     if main_process:
         print(
             f"Using {len(devices)} device(s): {devices[0].platform} "
