@@ -47,9 +47,16 @@ class AugmentConfig:
     blur_prob: float = 0.03
     blur_sigma_max: float = 1.0
     blur_kernel_size: int = 5
+    # Augmentation implementation: "auto"/"xla" use the XLA chain;
+    # "pallas" forces the fused Pallas pointwise kernel (ops/augment_pallas)
+    # — measured at parity with XLA on a v5e (docs/PERF.md), kept as the
+    # starting point for future fully-on-device pipelines.
+    impl: str = "auto"
 
     def __post_init__(self) -> None:
         # Same validation as reference dataset.py:166-177.
+        if self.impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"impl must be auto|xla|pallas, got {self.impl}")
         if not 0.0 <= self.blur_prob <= 1.0:
             raise ValueError(f"blur_prob must be in [0, 1], got {self.blur_prob}")
         if self.blur_kernel_size < 3 or self.blur_kernel_size % 2 == 0:
@@ -102,8 +109,8 @@ def _rgb_to_hsv(
     re-splits the channels, and avoiding the materialised stack keeps the
     whole hue adjustment one fused elementwise XLA kernel."""
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    maxc = jnp.max(img, axis=-1)
-    minc = jnp.min(img, axis=-1)
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
     eqc = maxc == minc
     cr = maxc - minc
     ones = jnp.ones_like(maxc)
@@ -112,9 +119,21 @@ def _rgb_to_hsv(
     rc = (maxc - r) / cr_div
     gc = (maxc - g) / cr_div
     bc = (maxc - b) / cr_div
-    hr = jnp.where(maxc == r, bc - gc, 0.0)
-    hg = jnp.where((maxc == g) & (maxc != r), 2.0 + rc - bc, 0.0)
-    hb = jnp.where((maxc != r) & (maxc != g), 4.0 + gc - rc, 0.0)
+    # Tolerant which-channel-is-max selection. The three sector formulas
+    # agree wherever two channels tie for the max, so admitting channels
+    # within eps of the max changes h by at most ~eps — while EXACT
+    # equality here is a correctness hazard: XLA may rematerialise the
+    # producer chain per consumer with different FMA contraction, and a
+    # 1-ulp disagreement between the `maxc` copy and the `g` copy flips
+    # the branch, swinging h by whole sectors (observed on XLA:CPU;
+    # pinned by tests/test_augment_jit_stability.py).
+    eps = 1e-6
+    is_r = maxc - r <= eps
+    is_g = (maxc - g <= eps) & ~is_r
+    is_b = ~is_r & ~is_g
+    hr = jnp.where(is_r, bc - gc, 0.0)
+    hg = jnp.where(is_g, 2.0 + rc - bc, 0.0)
+    hb = jnp.where(is_b, 4.0 + gc - rc, 0.0)
     h = jnp.mod(((hr + hg + hb) / 6.0 + 1.0), 1.0)
     return h, s, maxc
 
@@ -124,33 +143,35 @@ def _hsv_to_rgb(
 ) -> jnp.ndarray:
     """torchvision _hsv2rgb float semantics on (h, s, v) planes.
 
-    The sector table is realised as chained selects rather than
-    one_hot x stacked-table sums: identical values per pixel, but selects
-    stay inside one elementwise fusion while one_hot/stack materialise
-    (N,H,W,6) intermediates (measured 70.9 -> 12.9 ms for the full chain
-    at batch 128, 240x320, on one v5e chip)."""
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    i = i.astype(jnp.int32) % 6
-    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
-    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
-    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    Branchless formulation: channel(n) = v - v*s*clip(min(k, 4-k), 0, 1)
+    with k = (n + 6h) mod 6 — algebraically the same piecewise-linear
+    function as the classic p/q/t sector table, evaluated without any
+    data-dependent select on a floor()ed sector index. That matters twice:
+    (a) it is a single fused elementwise kernel, with no one_hot/stacked
+    tables materialising (N,H,W,6) intermediates (the full augment chain
+    dropped 70.9 -> ~12 ms at batch 128, 240x320, on one v5e); and (b) it
+    is CONTINUOUS in h, so it is immune to the fusion hazard where XLA
+    rematerialises the sector index per consumer with slightly different
+    float roundings — the discontinuous select-chain version produced
+    mixed-sector outputs on a small fraction of pixels under XLA:CPU
+    (caught by tests/test_augment_jit_stability.py)."""
+    h6 = h * 6.0
 
-    def table(c0, c1, c2, c3, c4, c5):
-        out = jnp.where(i == 0, c0, c5)
-        out = jnp.where(i == 1, c1, out)
-        out = jnp.where(i == 2, c2, out)
-        out = jnp.where(i == 3, c3, out)
-        return jnp.where(i == 4, c4, out)
+    def channel(n: float) -> jnp.ndarray:
+        k = jnp.mod(n + h6, 6.0)
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
 
-    r = table(v, q, p, p, t, v)
-    g = table(t, v, v, q, p, p)
-    b = table(p, p, t, v, v, q)
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
 
 
 def adjust_hue(img: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
-    h, s, v = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    # The barrier pins ONE evaluation of the input: rgb->hsv branches on
+    # exact equalities (maxc == r), and if XLA rematerialises the producer
+    # chain per consumer, FMA-rounding differences between copies can flip
+    # those equalities and emit garbage hue on a fraction of pixels
+    # (observed on XLA:CPU; tests/test_augment_jit_stability.py).
+    img = jax.lax.optimization_barrier(jnp.clip(img, 0.0, 1.0))
+    h, s, v = _rgb_to_hsv(img)
     h = jnp.mod(h + shift[:, None, None], 1.0)
     return _hsv_to_rgb(h, s, v)
 

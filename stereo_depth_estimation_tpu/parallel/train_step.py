@@ -103,9 +103,24 @@ def _make_step_body(
         state: TrainState, batch: dict[str, jnp.ndarray]
     ) -> tuple[TrainState, LossStats]:
         rng = jax.random.fold_in(state.rng, state.step)
-        inputs = _prepare_input(batch["input"])
-        if augment_config is not None:
-            inputs = augment_stereo_batch(rng, inputs, augment_config)
+        raw = batch["input"]
+        if augment_config is None:
+            inputs = _prepare_input(raw)
+        elif augment_config.impl == "pallas" and raw.dtype == jnp.uint8:
+            # Fused Pallas pointwise chain consumes the uint8 batch directly
+            # (interpret mode off-TPU so forced-"pallas" still runs in tests).
+            # "auto" resolves to the XLA chain: measured equal on a v5e
+            # (10.6 vs 10.55 ms at batch 128 — docs/PERF.md).
+            from ..ops.augment_pallas import augment_stereo_batch_pallas
+
+            inputs = augment_stereo_batch_pallas(
+                rng, raw, augment_config,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            inputs = augment_stereo_batch(
+                rng, _prepare_input(raw), augment_config
+            )
         target, mask = _targets_and_mask(batch)
 
         def loss_fn(params):

@@ -1,0 +1,84 @@
+"""Pallas augmentation kernel == XLA chain, bit-for-rounding.
+
+Both paths share factor sampling and noise keys, so given the same PRNG key
+and uint8 batch they must produce the same values up to float rounding of
+the fused arithmetic. Runs the kernel in interpreter mode on the CPU farm;
+the same code path compiles natively on TPU (exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_depth_estimation_tpu.ops.augment import (
+    AugmentConfig,
+    augment_stereo_batch,
+)
+from stereo_depth_estimation_tpu.ops.augment_pallas import (
+    augment_stereo_batch_pallas,
+)
+
+
+def _u8_batch(n=3, h=12, w=16, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (n, h, w, 6), dtype=np.uint8
+    )
+
+
+def test_pallas_matches_xla_chain_including_blur_and_noise() -> None:
+    cfg = AugmentConfig(blur_prob=0.5)  # force the blur branch to matter
+    x = _u8_batch()
+    key = jax.random.key(7)
+    ref = np.asarray(
+        augment_stereo_batch(key, jnp.asarray(x).astype(jnp.float32) / 255.0, cfg)
+    )
+    out = np.asarray(
+        augment_stereo_batch_pallas(key, jnp.asarray(x), cfg, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_matches_xla_chain_pointwise_only() -> None:
+    cfg = AugmentConfig(blur_prob=0.0, noise_std_max=0.0)
+    x = _u8_batch(seed=1)
+    key = jax.random.key(9)
+    ref = np.asarray(
+        augment_stereo_batch(key, jnp.asarray(x).astype(jnp.float32) / 255.0, cfg)
+    )
+    out = np.asarray(
+        augment_stereo_batch_pallas(key, jnp.asarray(x), cfg, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_train_step_uses_pallas_when_forced() -> None:
+    import optax
+
+    from stereo_depth_estimation_tpu.models import StereoUNet
+    from stereo_depth_estimation_tpu.parallel import (
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(2)
+    hw = (16, 16)
+    model = StereoUNet(base_channels=4)
+    tx = optax.adamw(1e-3)
+    batch = {
+        "input": jnp.asarray(
+            rng.integers(0, 256, (4, *hw, 6), dtype=np.uint8)
+        ),
+        "target": jnp.asarray(rng.uniform(0.5, 8.0, (4, *hw)).astype(np.float32)),
+    }
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        state = create_train_state(model, jax.random.key(0), hw, tx)
+        step = make_train_step(model, tx, AugmentConfig(impl=impl))
+        state, stats = step(state, dict(batch))
+        outs[impl] = (
+            float(stats.nll_sum),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+    np.testing.assert_allclose(outs["xla"][0], outs["pallas"][0], rtol=1e-5)
+    np.testing.assert_allclose(outs["xla"][1], outs["pallas"][1], atol=1e-5)
