@@ -45,6 +45,7 @@ class TrainConfig:
     blur_prob: float = 0.03
     blur_sigma_max: float = 1.0
     blur_kernel_size: int = 5
+    augment_impl: str = "auto"  # auto|xla|pallas (ops/augment.py)
     # --- TPU-native additions (no reference counterpart) ---
     mesh_devices: int = 0  # 0 = all visible devices (data-parallel axis)
     spatial_devices: int = 1  # >1: shard image height over a 2nd mesh axis
@@ -125,6 +126,10 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         help="Max sigma for Gaussian blur (<= 0 disables blur).")
     add("--blur-kernel-size", type=int, default=defaults.blur_kernel_size,
         help="Gaussian blur kernel size (odd integer >= 3).")
+    add("--augment-impl", type=str, default=defaults.augment_impl,
+        choices=("auto", "xla", "pallas"), dest="augment_impl",
+        help="Augmentation implementation (pallas = fused TPU kernel for "
+             "the pointwise stages; see docs/PERF.md).")
     # TPU-native flags
     add("--mesh-devices", type=int, default=defaults.mesh_devices,
         help="Data-parallel mesh size (0 = all visible devices).")

@@ -86,6 +86,7 @@ def augment_config_from(cfg: TrainConfig) -> AugmentConfig | None:
         blur_prob=cfg.blur_prob,
         blur_sigma_max=cfg.blur_sigma_max,
         blur_kernel_size=cfg.blur_kernel_size,
+        impl=cfg.augment_impl,
     )
 
 
