@@ -185,6 +185,16 @@ def run_train_epoch(
             and float(interval.valid_count) > 0
         ):
             metrics = _step_metric_dict(interval, "train")
+            # Failure detection: divergence/bad-batch NaNs would otherwise
+            # poison every later parameter silently (metric fetches happen
+            # at this cadence anyway, so the check costs nothing extra).
+            if not np.isfinite(metrics["train_nll_step"]):
+                raise FloatingPointError(
+                    f"Training loss is non-finite at step {global_step} "
+                    "(divergence or corrupt input). The 'last' checkpoint "
+                    "holds the most recent finite state; resume from it "
+                    "with a lower --lr or inspect the data."
+                )
             if run is not None:
                 run.log_metrics(metrics, step=global_step)
             if bar is not None:

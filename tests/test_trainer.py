@@ -166,3 +166,29 @@ def test_tracking_run_jsonl_backend(tmp_path: Path) -> None:
     assert json.loads((base / "params.json").read_text()) == {"a": 1}
     assert json.loads((base / "tags.json").read_text()) == {"t": "v"}
     assert (base / "artifacts" / "cfg" / "artifact.txt").exists()
+
+
+def test_run_train_epoch_raises_on_non_finite_loss() -> None:
+    """Failure detection: a diverged (NaN) interval aborts with a clear
+    error instead of silently poisoning every later step."""
+    import jax.numpy as jnp
+    import pytest
+
+    from stereo_depth_estimation_tpu.ops.loss import LossStats
+    from stereo_depth_estimation_tpu.training.trainer import run_train_epoch
+
+    def nan_step(state, batch):
+        s = jnp.float32
+        return state, LossStats(
+            nll_sum=jnp.asarray(float("nan"), s),
+            abs_err_sum=jnp.asarray(1.0, s),
+            sq_err_sum=jnp.asarray(1.0, s),
+            sigma_sum=jnp.asarray(1.0, s),
+            valid_count=jnp.asarray(10.0, s),
+        )
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        run_train_epoch(
+            nan_step, object(), iter([{}, {}]), run=None, global_step=0,
+            log_every_batches=2,
+        )
