@@ -1,0 +1,122 @@
+"""``foundation-stereo-eval``: offline metric evaluation of a checkpoint.
+
+Capability superset: the reference computes validation metrics only inside
+a training run (train.py:617-638); here any checkpoint — Orbax or a
+reference PyTorch ``.pt`` — can be scored against any dataset split after
+the fact, with the same pixel-weighted metric definitions the trainer logs
+(mae/rmse/nll/sigma over valid pixels). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import StereoSampleLoader
+from ..data.pipeline import batch_iterator, loader_fetch, prefetch_to_device
+from ..data.samples import discover_samples, split_samples
+from ..models.unet import StereoUNet
+from ..ops.loss import LossStats, accumulate_stats, metrics_from_stats
+from ..parallel.train_step import TrainState, make_eval_step
+from ..training.checkpoint import load_model_variables, resolve_checkpoint_path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Score a trained checkpoint on a dataset split "
+                    "(pixel-weighted mae/rmse/nll, same math as training)."
+    )
+    parser.add_argument("--dataset-root", type=str, required=True)
+    parser.add_argument("--split", type=str, default="val",
+                        choices=("val", "train", "all"),
+                        help="Which side of the seeded split to score.")
+    parser.add_argument("--val-fraction", type=float, default=0.1)
+    parser.add_argument("--seed", type=int, default=42,
+                        help="Split seed; match the training run's.")
+    parser.add_argument("--height", type=int, default=240)
+    parser.add_argument("--width", type=int, default=320)
+    parser.add_argument("--batch-size", type=int, default=30)
+    parser.add_argument("--max-samples", type=int, default=0)
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--cache-root", type=str, default=None)
+    parser.add_argument("--require-cache", action="store_true")
+    parser.add_argument("--checkpoint", type=Path, default=None,
+                        help="Orbax checkpoint dir or reference .pt file.")
+    parser.add_argument("--run-id", type=str, default=None)
+    parser.add_argument("--output-dir", type=Path, default=Path("outputs"))
+    parser.add_argument("--checkpoint-name", type=str, default="last")
+    return parser
+
+
+def evaluate(args: argparse.Namespace) -> dict:
+    samples = discover_samples(args.dataset_root)
+    if args.max_samples > 0:
+        samples = samples[: args.max_samples]
+    if args.split != "all":
+        train_s, val_s = split_samples(samples, args.val_fraction, args.seed)
+        samples = val_s if args.split == "val" else train_s
+    if not samples:
+        raise ValueError(f"No samples to evaluate (split={args.split}).")
+
+    checkpoint_path = resolve_checkpoint_path(
+        args.output_dir, checkpoint=args.checkpoint, run_id=args.run_id,
+        checkpoint_name=args.checkpoint_name,
+    )
+    model = StereoUNet()
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0),
+            jnp.zeros((1, args.height, args.width, 6)),
+            train=False, return_uncertainty=True,
+        )
+    )
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    variables, ckpt_meta = load_model_variables(checkpoint_path, template)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=(),
+        rng=jax.random.key(0),
+    )
+    eval_step = make_eval_step(model)
+
+    loader = StereoSampleLoader(
+        samples, image_size=(args.height, args.width),
+        cache_root=args.cache_root, require_cache=args.require_cache,
+    )
+    total: LossStats | None = None
+    batches = prefetch_to_device(
+        batch_iterator(
+            loader_fetch(loader, num_workers=args.num_workers),
+            len(loader), args.batch_size,
+        )
+    )
+    for batch in batches:
+        total = accumulate_stats(total, eval_step(state, batch))
+    assert total is not None
+    metrics = metrics_from_stats(jax.device_get(total))
+    result = {
+        "checkpoint": str(checkpoint_path),
+        "checkpoint_epoch": int(ckpt_meta.get("epoch", -1))
+        if isinstance(ckpt_meta, dict) else -1,
+        "split": args.split,
+        "samples": len(samples),
+        "valid_pixels": int(total.valid_count),
+        **{k: round(v, 6) for k, v in metrics.items()},
+    }
+    print(json.dumps(result))
+    return result
+
+
+def main() -> None:
+    evaluate(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

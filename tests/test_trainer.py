@@ -192,3 +192,36 @@ def test_run_train_epoch_raises_on_non_finite_loss() -> None:
             nan_step, object(), iter([{}, {}]), run=None, global_step=0,
             log_every_batches=2,
         )
+
+
+def test_offline_evaluate_matches_training_val_metrics(
+    dataset_root: Path, tmp_path: Path
+) -> None:
+    """foundation-stereo-eval on the saved 'last' checkpoint must reproduce
+    the val metrics the trainer reported for that epoch (same split seed,
+    same eval-mode math)."""
+    from stereo_depth_estimation_tpu.eval.evaluate import build_parser, evaluate
+
+    cfg = _config(
+        tmp_path, dataset_root=str(dataset_root / "data"),
+        epochs=1, preview_samples=0,
+    )
+    summary = train(cfg)
+    ckpt = Path(summary["checkpoints_dir"]) / "last"
+    meta = json.loads((ckpt / "meta.json").read_text())
+
+    result = evaluate(build_parser().parse_args([
+        "--dataset-root", str(dataset_root / "data"),
+        "--checkpoint", str(ckpt),
+        "--height", "32", "--width", "32",
+        "--val-fraction", "0.25", "--seed", "42",
+        "--batch-size", "4", "--num-workers", "0",
+    ]))
+    assert result["checkpoint_epoch"] == 1
+    assert result["split"] == "val"
+    np.testing.assert_allclose(
+        result["mae"], meta["metrics"]["val_mae"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        result["rmse"], meta["metrics"]["val_rmse"], rtol=1e-5
+    )
