@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--run-id", type=str, default=None)
     parser.add_argument("--output-dir", type=Path, default=Path("outputs"))
     parser.add_argument("--checkpoint-name", type=str, default="last")
+    parser.add_argument("--base-channels", type=int, default=32,
+                        help="UNet width; must match the checkpoint's.")
     return parser
 
 
@@ -67,7 +69,7 @@ def evaluate(args: argparse.Namespace) -> dict:
         args.output_dir, checkpoint=args.checkpoint, run_id=args.run_id,
         checkpoint_name=args.checkpoint_name,
     )
-    model = StereoUNet()
+    model = StereoUNet(base_channels=args.base_channels)
     template = jax.eval_shape(
         lambda: model.init(
             jax.random.key(0),

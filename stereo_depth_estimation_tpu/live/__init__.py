@@ -1,2 +1,3 @@
-"""Live USB-stereo application suite: probing, calibration, SGBM baseline,
-and the deep-learning depth viewer (TPU inference, checkpoint hot-reload)."""
+"""Live stereo tooling: device probing, chessboard calibration, the SGBM
+classical comparator, and the TPU-inference depth viewer with checkpoint
+hot-reload. Every tool also runs headless on stored frame pairs."""

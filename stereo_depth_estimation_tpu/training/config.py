@@ -47,6 +47,7 @@ class TrainConfig:
     blur_kernel_size: int = 5
     augment_impl: str = "auto"  # auto|xla|pallas (ops/augment.py)
     # --- TPU-native additions (no reference counterpart) ---
+    base_channels: int = 32  # UNet width; 32 = reference spec (7.76M params)
     mesh_devices: int = 0  # 0 = all visible devices (data-parallel axis)
     spatial_devices: int = 1  # >1: shard image height over a 2nd mesh axis
     compute_dtype: str = "bfloat16"  # MXU-friendly; "float32" for parity runs
@@ -131,6 +132,8 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         help="Augmentation implementation (pallas = fused TPU kernel for "
              "the pointwise stages; see docs/PERF.md).")
     # TPU-native flags
+    add("--base-channels", type=int, default=defaults.base_channels,
+        help="UNet width multiplier (32 = reference architecture).")
     add("--mesh-devices", type=int, default=defaults.mesh_devices,
         help="Data-parallel mesh size (0 = all visible devices).")
     add("--spatial-devices", type=int, default=defaults.spatial_devices,

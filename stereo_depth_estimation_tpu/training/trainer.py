@@ -373,6 +373,7 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     model = StereoUNet(
         in_channels=6,
         out_channels=1,
+        base_channels=cfg.base_channels,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
     tx = make_adamw(cfg.lr, cfg.weight_decay)

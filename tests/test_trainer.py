@@ -47,6 +47,7 @@ def _config(tmp_path: Path, **kw) -> TrainConfig:
         output_dir=str(tmp_path / "outputs"),
         preview_samples=2,
         log_every_batches=2,
+        base_channels=8,  # small model: e2e logic, not capacity, is under test
     )
     base.update(kw)
     return TrainConfig(**base)
@@ -216,6 +217,7 @@ def test_offline_evaluate_matches_training_val_metrics(
         "--height", "32", "--width", "32",
         "--val-fraction", "0.25", "--seed", "42",
         "--batch-size", "4", "--num-workers", "0",
+        "--base-channels", "8",
     ]))
     assert result["checkpoint_epoch"] == 1
     assert result["split"] == "val"
