@@ -446,11 +446,13 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
 
         for epoch in range(start_epoch, cfg.epochs + 1):
             start_time = time.time()
+            # No drop_last even on a mesh: indivisible batches (including
+            # the epoch tail) shard via pad-and-mask, so every sample
+            # trains, matching the reference's DataLoader semantics.
             train_batches = prefetch_to_device(
                 batch_iterator(
                     train_fetch, n_train, cfg.batch_size,
                     shuffle=True, seed=cfg.seed, epoch=epoch,
-                    drop_last=len(devices) > 1,
                 ),
                 put=put,
             )
