@@ -150,3 +150,53 @@ def test_preview_montage(tmp_path: Path) -> None:
     # constant map stays in range
     n = normalize_map(np.full((4, 4), 2.0))
     assert n.shape == (4, 4, 3)
+
+
+def test_export_cli_round_trips_through_reference_format(
+    state_and_model, tmp_path: Path
+) -> None:
+    """foundation-stereo-export writes a .pt our own torch loader (and the
+    reference's spec model) can consume, with params surviving the
+    flax -> torch -> flax round trip exactly."""
+    torch = pytest.importorskip("torch")
+    from stereo_depth_estimation_tpu.training.export import (
+        build_parser,
+        export_checkpoint,
+    )
+
+    model, tx, state = state_and_model
+    ckpt = save_checkpoint(
+        tmp_path, "last", state, epoch=7,
+        config={"base_channels": 4}, metrics={"val_mae": 2.0},
+    )
+    out_pt = tmp_path / "exported.pt"
+    export_checkpoint(build_parser().parse_args([
+        "--checkpoint", str(ckpt), "--base-channels", "4",
+        "--out", str(out_pt),
+    ]))
+
+    payload = torch.load(out_pt, weights_only=False)
+    assert payload["epoch"] == 7
+    assert payload["metrics"]["val_mae"] == 2.0
+
+    # The reference-spec torch model accepts the state dict strictly.
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_model import _make_torch_model
+
+    tmodel = _make_torch_model(base=4)
+    missing, unexpected = tmodel.load_state_dict(
+        payload["model_state_dict"], strict=False
+    )
+    assert [k for k in missing if "num_batches_tracked" not in k] == []
+    assert unexpected == []
+
+    # And our own .pt loader round-trips the params bit-exactly.
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    variables, _meta = load_model_variables(out_pt, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables["params"],
+        state.params,
+    )
