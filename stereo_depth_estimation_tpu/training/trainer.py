@@ -535,6 +535,10 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
 
         run.set_tag("best_epoch", best_epoch)
         run.set_tag("best_val_mae", best_val_mae)
+        if main_process and checkpoints_dir.exists():
+            # Final checkpoints ride along as tracking artifacts, like the
+            # reference's end-of-run upload (train.py:680-681).
+            run.log_artifacts(checkpoints_dir, artifact_path="checkpoints")
 
         if main_process:
             print(f"Run: {run_id} (tracking backend: {run.backend})")
