@@ -96,6 +96,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         help='Inference platform: "auto", "tpu", "cpu".')
     parser.add_argument("--model-width", type=int, default=320, help="Model input width.")
     parser.add_argument("--model-height", type=int, default=240, help="Model input height.")
+    parser.add_argument("--base-channels", type=int, default=32,
+                        help="UNet width; must match the checkpoint's.")
     parser.add_argument("--calibration", type=Path,
                         default=Path("calibration/stereo_calib.npz"),
                         help="Calibration file from foundation-stereo-calibrate.")
@@ -129,8 +131,11 @@ class LiveDepthEngine:
         model_size: tuple[int, int],  # (W, H)
         rectifier: Rectifier | None,
         device=None,
+        base_channels: int = 32,
     ) -> None:
-        self.model = StereoUNet(in_channels=6, out_channels=1)
+        self.model = StereoUNet(
+            in_channels=6, out_channels=1, base_channels=base_channels
+        )
         self.model_size = model_size
         self.rectifier = rectifier
         self.device = device
@@ -339,7 +344,7 @@ def main(argv: list[str] | None = None) -> None:
     baseline_m = calibration_baseline_m
     depth_enabled = baseline_m is not None and focal_length_px_model is not None
 
-    engine = LiveDepthEngine(model_size, rectifier)
+    engine = LiveDepthEngine(model_size, rectifier, base_channels=args.base_channels)
     loaded_epoch, uncertainty_available = engine.load_checkpoint(checkpoint_path)
     watcher = (
         CheckpointWatcher(engine, checkpoint_path, args.checkpoint_poll_sec)

@@ -31,7 +31,7 @@ def _write_frames(frame_dir: Path, n: int, size=(120, 160)) -> None:
 @pytest.fixture(scope="module")
 def checkpoint_dir(tmp_path_factory) -> Path:
     root = tmp_path_factory.mktemp("ckpt")
-    model = StereoUNet()
+    model = StereoUNet(base_channels=8)  # small width for CPU test speed
     tx = make_adamw(1e-3, 1e-4)
     state = create_train_state(
         model, jax.random.key(0), (MODEL_HW, MODEL_HW), tx
@@ -52,6 +52,7 @@ def test_dl_viewer_headless_no_rectify(tmp_path: Path, checkpoint_dir: Path) -> 
         "--checkpoint", str(checkpoint_dir),
         "--no-rectify", "--calibration", str(tmp_path / "missing.npz"),
         "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
+        "--base-channels", "8",
         "--max-frames", "2",
     ])
     assert (out / "depth_00000.png").exists()
@@ -85,6 +86,7 @@ def test_dl_viewer_headless_with_rectification_and_depth(
         "--checkpoint", str(checkpoint_dir),
         "--calibration", str(calib_path),
         "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
+        "--base-channels", "8",
         "--max-frames", "1", "--ema-alpha", "0.5",
     ])
     readout = json.loads((out / "readout_00000.json").read_text())
@@ -113,6 +115,7 @@ def test_dl_viewer_size_mismatch_raises(tmp_path: Path, checkpoint_dir: Path) ->
             "--checkpoint", str(checkpoint_dir),
             "--calibration", str(calib_path),
             "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
+        "--base-channels", "8",
             "--max-frames", "1",
         ])
 
@@ -200,7 +203,7 @@ def test_checkpoint_watcher_reloads_on_mtime_change(
 
     local = tmp_path / "ckpt"
     shutil.copytree(checkpoint_dir, local)
-    engine = LiveDepthEngine((MODEL_HW, MODEL_HW), rectifier=None)
+    engine = LiveDepthEngine((MODEL_HW, MODEL_HW), rectifier=None, base_channels=8)
     engine.load_checkpoint(local)
     watcher = CheckpointWatcher(engine, local, poll_sec=0.0)
 
