@@ -52,6 +52,7 @@ class TrainConfig:
     spatial_devices: int = 1  # >1: shard image height over a 2nd mesh axis
     compute_dtype: str = "bfloat16"  # MXU-friendly; "float32" for parity runs
     packed_cache_root: str | None = None  # fast-path packed array cache
+    device_resident: str = "auto"  # auto|on|off: train from HBM-staged data
     resume: str | None = None  # checkpoint dir to resume from (superset of ref)
     log_every_batches: int = 10  # MLFLOW_TRAIN_LOG_EVERY_BATCHES (train.py:23)
     preview_samples: int = 8  # MLFLOW_PREVIEW_SAMPLES (train.py:24)
@@ -144,6 +145,11 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         choices=("bfloat16", "float32"), help="Network compute dtype.")
     add("--packed-cache-root", type=str, default=None,
         help="Packed array cache (fast path); built automatically if missing.")
+    add("--device-resident", type=str, default=defaults.device_resident,
+        choices=("auto", "on", "off"), dest="device_resident",
+        help="Stage the packed training set into device memory once and run "
+             "the fully on-device step (zero per-step host traffic). "
+             "'auto' enables it when the packed cache fits comfortably.")
     add("--resume", type=str, default=None,
         help="Checkpoint directory to resume training from.")
     add("--log-every-batches", type=int, default=defaults.log_every_batches,

@@ -229,8 +229,9 @@ def run_eval_epoch(eval_fn, state: TrainState, batches: Iterator[Any]) -> dict[s
 def _make_fetch(
     cfg: TrainConfig, samples, packed_root: Path | None,
     main_process: bool = True,
-) -> tuple[Callable[[np.ndarray], dict[str, np.ndarray]], int]:
+) -> tuple[Callable[[np.ndarray], dict[str, np.ndarray]], int, "PackedCache | None"]:
     """Pick the packed fast path when requested, else the npz/PIL loader.
+    Returns (fetch, n, packed_cache_or_None).
 
     In multihost runs only process 0 (re)builds a packed cache; followers
     wait for its manifest, so hosts sharing a filesystem don't race."""
@@ -252,7 +253,7 @@ def _make_fetch(
                     )
                 time.sleep(1.0)
             cache = PackedCache(packed_root)
-            return cache.gather, len(cache)
+            return cache.gather, len(cache), cache
         if meta_path.exists():
             stale = (
                 json.loads(meta_path.read_text()).get("split_fingerprint")
@@ -280,8 +281,8 @@ def _make_fetch(
                 f"Packed cache size {len(cache)} != sample count {len(samples)}; "
                 "rebuild with a fresh --packed-cache-root."
             )
-        return cache.gather, len(cache)
-    return loader_fetch(loader, num_workers=cfg.num_workers), len(loader)
+        return cache.gather, len(cache), cache
+    return loader_fetch(loader, num_workers=cfg.num_workers), len(loader), None
 
 
 class _NullRun:
@@ -345,17 +346,17 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         )
 
     packed_base = Path(cfg.packed_cache_root) if cfg.packed_cache_root else None
-    train_fetch, n_train = _make_fetch(
+    train_fetch, n_train, train_cache = _make_fetch(
         cfg, train_samples, packed_base / "train" if packed_base else None,
         main_process,
     )
-    val_fetch, n_val = (
+    val_fetch, n_val, _val_cache = (
         _make_fetch(
             cfg, val_samples, packed_base / "val" if packed_base else None,
             main_process,
         )
         if val_samples
-        else (None, 0)
+        else (None, 0, None)
     )
 
     preview_source = val_samples if val_samples else train_samples
@@ -392,6 +393,46 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     train_step = make_train_step(model, tx, augment_config_from(cfg))
     eval_step = make_eval_step(model)
     predict = make_predict_fn(model)
+
+    # Device-resident fast path: when the packed training set fits HBM,
+    # stage it once and train with zero per-step host traffic (on-device
+    # shuffle + gather + augmented step — the same pipeline bench.py
+    # measures). Single-process, single-device only; streamed epochs are
+    # the general path.
+    device_step = None
+    steps_per_epoch_dr = 0
+    if (
+        cfg.device_resident != "off"
+        and train_cache is not None
+        and len(devices) == 1
+        and not (cfg.multihost and jax.process_count() > 1)
+    ):
+        payload_bytes = (
+            train_cache._images.nbytes + train_cache._disparity.nbytes
+        )
+        if cfg.device_resident == "on" or payload_bytes <= 4 << 30:
+            if n_train < cfg.batch_size:
+                raise ValueError(
+                    f"--device-resident: training set ({n_train}) is smaller "
+                    f"than --batch-size ({cfg.batch_size})."
+                )
+            data = train_cache.load_all()
+            images_dev = jax.device_put(jnp.asarray(data["input"]))
+            targets_dev = jax.device_put(jnp.asarray(data["target"]))
+            from ..parallel.train_step import make_device_data_train_step
+
+            device_step = make_device_data_train_step(
+                model, tx, images_dev, targets_dev, cfg.batch_size,
+                augment_config_from(cfg),
+            )
+            steps_per_epoch_dr = n_train // cfg.batch_size
+            if main_process:
+                print(
+                    f"Device-resident training: {payload_bytes / 1e6:.0f} MB "
+                    f"staged to {devices[0].platform}, "
+                    f"{steps_per_epoch_dr} steps/epoch (on-device shuffle; "
+                    "epoch tails rotate in via per-epoch permutations)."
+                )
 
     if cfg.multihost and jax.process_count() > 1:
         # Each host decodes only its stripe of every global batch and the
@@ -446,18 +487,23 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
 
         for epoch in range(start_epoch, cfg.epochs + 1):
             start_time = time.time()
-            # No drop_last even on a mesh: indivisible batches (including
-            # the epoch tail) shard via pad-and-mask, so every sample
-            # trains, matching the reference's DataLoader semantics.
-            train_batches = prefetch_to_device(
-                batch_iterator(
-                    train_fetch, n_train, cfg.batch_size,
-                    shuffle=True, seed=cfg.seed, epoch=epoch,
-                ),
-                put=put,
-            )
+            if device_step is not None:
+                step_fn = lambda s, _batch: device_step(s)  # noqa: E731
+                train_batches: Any = iter([None] * steps_per_epoch_dr)
+            else:
+                step_fn = train_step
+                # No drop_last even on a mesh: indivisible batches (including
+                # the epoch tail) shard via pad-and-mask, so every sample
+                # trains, matching the reference's DataLoader semantics.
+                train_batches = prefetch_to_device(
+                    batch_iterator(
+                        train_fetch, n_train, cfg.batch_size,
+                        shuffle=True, seed=cfg.seed, epoch=epoch,
+                    ),
+                    put=put,
+                )
             state, train_metrics, global_step = run_train_epoch(
-                train_step,
+                step_fn,
                 state,
                 train_batches,
                 run=run,

@@ -227,3 +227,21 @@ def test_offline_evaluate_matches_training_val_metrics(
     np.testing.assert_allclose(
         result["rmse"], meta["metrics"]["val_rmse"], rtol=1e-5
     )
+
+
+def test_device_resident_training(dataset_root: Path, tmp_path: Path) -> None:
+    """--device-resident stages the packed cache into device memory and
+    trains fully on-device; checkpoints/metrics flow as usual."""
+    cfg = _config(
+        tmp_path, dataset_root=str(dataset_root / "data"),
+        epochs=2, preview_samples=0,
+        packed_cache_root=str(tmp_path / "packed"),
+        device_resident="on",
+    )
+    summary = train(cfg)
+    assert summary["global_step"] == 2 * (9 // 4)  # 9 train samples, batch 4
+    ckpt = Path(summary["checkpoints_dir"]) / "last"
+    meta = json.loads((ckpt / "meta.json").read_text())
+    assert meta["epoch"] == 2
+    assert np.isfinite(meta["metrics"]["train_mae"])
+    assert np.isfinite(meta["metrics"]["val_mae"])
