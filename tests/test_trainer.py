@@ -245,3 +245,25 @@ def test_device_resident_training(dataset_root: Path, tmp_path: Path) -> None:
     assert meta["epoch"] == 2
     assert np.isfinite(meta["metrics"]["train_mae"])
     assert np.isfinite(meta["metrics"]["val_mae"])
+
+
+def test_device_resident_resume(dataset_root: Path, tmp_path: Path) -> None:
+    """Resume continues the device-resident schedule: global step keeps
+    counting and later epochs see fresh on-device permutations."""
+    kw = dict(
+        dataset_root=str(dataset_root / "data"), preview_samples=0,
+        packed_cache_root=str(tmp_path / "packed"), device_resident="on",
+    )
+    first = train(_config(tmp_path, epochs=1, **kw))
+    resumed = train(_config(
+        tmp_path, epochs=2,
+        resume=str(Path(first["checkpoints_dir"]) / "last"), **kw,
+    ))
+    steps_per_epoch = 9 // 4
+    assert first["global_step"] == steps_per_epoch
+    # Resumed run executes only epoch 2.
+    assert resumed["global_step"] == steps_per_epoch
+    meta = json.loads(
+        (Path(resumed["checkpoints_dir"]) / "last" / "meta.json").read_text()
+    )
+    assert meta["epoch"] == 2
