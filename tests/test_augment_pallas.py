@@ -82,3 +82,34 @@ def test_train_step_uses_pallas_when_forced() -> None:
         )
     np.testing.assert_allclose(outs["xla"][0], outs["pallas"][0], rtol=1e-5)
     np.testing.assert_allclose(outs["xla"][1], outs["pallas"][1], atol=1e-5)
+
+
+def test_pallas_matches_xla_across_configs_and_shapes() -> None:
+    """Config/shape fuzz: extremes of every jitter, odd heights (block
+    picking), blur always-on, noise off — both impls must agree."""
+    cases = [
+        (AugmentConfig(), (2, 10, 12)),                      # defaults, odd h
+        (AugmentConfig(blur_prob=1.0, blur_kernel_size=3), (1, 7, 9)),
+        (AugmentConfig(brightness_jitter=0.9, contrast_jitter=0.9,
+                       saturation_jitter=0.9, hue_jitter=0.5,
+                       gamma_jitter=0.9, noise_std_max=0.2), (2, 16, 8)),
+        (AugmentConfig(brightness_jitter=0, contrast_jitter=0,
+                       saturation_jitter=0, hue_jitter=0, gamma_jitter=0,
+                       noise_std_max=0, blur_prob=0), (3, 5, 6)),  # identity
+        (AugmentConfig(blur_prob=0.0, blur_kernel_size=9,
+                       blur_sigma_max=2.5), (1, 24, 16)),
+    ]
+    for seed, (cfg, (n, h, w)) in enumerate(cases):
+        x = np.random.default_rng(seed).integers(
+            0, 256, (n, h, w, 6), dtype=np.uint8
+        )
+        key = jax.random.key(seed)
+        ref = np.asarray(augment_stereo_batch(
+            key, jnp.asarray(x).astype(jnp.float32) / 255.0, cfg
+        ))
+        out = np.asarray(augment_stereo_batch_pallas(
+            key, jnp.asarray(x), cfg, interpret=True
+        ))
+        np.testing.assert_allclose(
+            out, ref, atol=2e-5, err_msg=f"case {seed}: {cfg}"
+        )
