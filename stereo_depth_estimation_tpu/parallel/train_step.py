@@ -163,13 +163,30 @@ def _make_step_body(
     return body
 
 
+def _step_compiler_options() -> dict[str, str] | None:
+    """TPU-only compile options for the train step.
+
+    Raising the scoped-VMEM budget to 64 MiB lets the conv fusions tile
+    larger: measured 129.4 -> 126.2 ms/step at batch 128, 240x320, on one
+    v5e (+2.5%); larger budgets plateau (and 128 MiB costs a 5-minute
+    compile). CPU/other backends reject TPU options, hence the gate.
+    """
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    return None
+
+
 def make_train_step(
     model: StereoUNet,
     tx: optax.GradientTransformation,
     augment_config: AugmentConfig | None = None,
 ) -> Callable[[TrainState, dict[str, jnp.ndarray]], tuple[TrainState, LossStats]]:
     """Streaming train step: batch {input (N,H,W,6) u8/f32, target (N,H,W)}."""
-    return jax.jit(_make_step_body(model, tx, augment_config), donate_argnums=(0,))
+    return jax.jit(
+        _make_step_body(model, tx, augment_config),
+        donate_argnums=(0,),
+        compiler_options=_step_compiler_options(),
+    )
 
 
 def _device_batch_select(
