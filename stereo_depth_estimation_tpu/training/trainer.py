@@ -401,6 +401,7 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     # the general path.
     device_step = None
     steps_per_epoch_dr = 0
+    device_val_batches: list | None = None
     if (
         cfg.device_resident != "off"
         and train_cache is not None
@@ -433,6 +434,19 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                     f"{steps_per_epoch_dr} steps/epoch (on-device shuffle; "
                     "epoch tails rotate in via per-epoch permutations)."
                 )
+            if _val_cache is not None:
+                # Stage validation too: epochs then run with zero host
+                # traffic. Batches are device-array slices built once.
+                val_data = _val_cache.load_all()
+                val_imgs = jax.device_put(jnp.asarray(val_data["input"]))
+                val_tgts = jax.device_put(jnp.asarray(val_data["target"]))
+                device_val_batches = [
+                    {
+                        "input": val_imgs[i : i + cfg.batch_size],
+                        "target": val_tgts[i : i + cfg.batch_size],
+                    }
+                    for i in range(0, n_val, cfg.batch_size)
+                ]
 
     if cfg.multihost and jax.process_count() > 1:
         # Each host decodes only its stripe of every global batch and the
@@ -513,7 +527,11 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                 profiler=profiler,
             )
             profiler.stop()  # flush even if the epoch was shorter than asked
-            if val_fetch is not None:
+            if device_val_batches is not None:
+                val_metrics = run_eval_epoch(
+                    eval_step, state, iter(device_val_batches)
+                )
+            elif val_fetch is not None:
                 val_batches = prefetch_to_device(
                     batch_iterator(val_fetch, n_val, cfg.batch_size), put=put
                 )
