@@ -69,7 +69,7 @@ def test_load_model_variables_from_torch_pt(state_and_model, tmp_path: Path) -> 
     torch = pytest.importorskip("torch")
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_model import _make_torch_model
 
     torch.manual_seed(1)

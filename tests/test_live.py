@@ -68,7 +68,7 @@ def test_dl_viewer_headless_with_rectification_and_depth(
 ) -> None:
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_remap import _synthetic_calibration
 
     from stereo_depth_estimation_tpu.live.depth_live_dl import main
@@ -98,7 +98,7 @@ def test_dl_viewer_headless_with_rectification_and_depth(
 def test_dl_viewer_size_mismatch_raises(tmp_path: Path, checkpoint_dir: Path) -> None:
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_remap import _synthetic_calibration
 
     from stereo_depth_estimation_tpu.live.depth_live_dl import main
@@ -123,7 +123,7 @@ def test_dl_viewer_size_mismatch_raises(tmp_path: Path, checkpoint_dir: Path) ->
 def test_sgbm_headless(tmp_path: Path) -> None:
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_remap import _synthetic_calibration
 
     from stereo_depth_estimation_tpu.live.depth_live_sgbm import main

@@ -7,6 +7,7 @@ with a plain single-process 8-device run on identical data — proving the
 per-host feeding assembles exactly the batch a single controller would see.
 """
 
+import os
 import subprocess
 import sys
 import textwrap
@@ -17,7 +18,8 @@ import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
-PORT = 17341
+# Avoid TIME_WAIT collisions across quick successive runs.
+PORT = 17000 + (os.getpid() % 2000)
 
 _CHILD = textwrap.dedent(
     """

@@ -124,7 +124,7 @@ def test_one_step_matches_torch_adamw() -> None:
     torch = pytest.importorskip("torch")
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_model import _make_torch_model
 
     from stereo_depth_estimation_tpu.models.compat import load_torch_state_dict
