@@ -106,11 +106,20 @@ def _make_step_body(
         raw = batch["input"]
         if augment_config is None:
             inputs = _prepare_input(raw)
-        elif augment_config.impl == "pallas" and raw.dtype == jnp.uint8:
+        elif (
+            augment_config.impl != "xla"
+            and raw.dtype == jnp.uint8
+            and (
+                augment_config.impl == "pallas"
+                or jax.default_backend() == "tpu"
+            )
+        ):
             # Fused Pallas pointwise chain consumes the uint8 batch directly
             # (interpret mode off-TPU so forced-"pallas" still runs in tests).
-            # "auto" resolves to the XLA chain: measured equal on a v5e
-            # (10.6 vs 10.55 ms at batch 128 — docs/PERF.md).
+            # "auto" picks it on TPU: standalone the two chains tie, but
+            # inside the full step it avoids the materialised uint8->f32
+            # pass and measured 152.2 -> 137.4 ms/step on a v5e (+11%,
+            # docs/PERF.md); values match the XLA chain to float rounding.
             from ..ops.augment_pallas import augment_stereo_batch_pallas
 
             inputs = augment_stereo_batch_pallas(

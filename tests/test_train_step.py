@@ -1,6 +1,8 @@
 """Train-step correctness: loss descent, torch golden one-step parity, and
 data-parallel (8 virtual devices) equivalence with single-device training."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
