@@ -116,6 +116,9 @@ def tracking_params(
         "compute_dtype": cfg.compute_dtype,
         "mesh_devices": cfg.mesh_devices,
         "spatial_devices": cfg.spatial_devices,
+        "base_channels": cfg.base_channels,
+        "device_resident": cfg.device_resident,
+        "augment_impl": cfg.augment_impl,
     }
     if cfg.augment:
         params.update(
