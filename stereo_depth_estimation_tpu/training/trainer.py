@@ -405,6 +405,17 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     device_step = None
     steps_per_epoch_dr = 0
     device_val_batches: list | None = None
+    if cfg.device_resident == "on" and (
+        train_cache is None
+        or len(devices) > 1
+        or (cfg.multihost and jax.process_count() > 1)
+    ):
+        if main_process:
+            print(
+                "--device-resident on requested but unavailable "
+                "(needs --packed-cache-root, one device, single process); "
+                "falling back to streamed batches."
+            )
     if (
         cfg.device_resident != "off"
         and train_cache is not None
