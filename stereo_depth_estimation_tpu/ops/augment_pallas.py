@@ -1,11 +1,11 @@
 """Pallas TPU kernel for the pointwise augmentation chain.
 
 One VMEM pass fuses uint8 decode, brightness, contrast, saturation, hue,
-and gamma for both stereo views — the XLA lowering of the same chain takes
-~4x the memory speed-of-light because the HSV trip and per-stage blends
-break into several full-image fusions (docs/PERF.md). Blur (rare-path,
-needs halos) and Gaussian noise (needs jax.random parity) stay in XLA and
-compose after the kernel, preserving the reference stage order
+gamma, and (for images that fit whole in VMEM) the probabilistic Gaussian
+blur for both stereo views — the XLA lowering of the same chain pays
+materialised intermediates between stages (docs/PERF.md). Gaussian noise
+stays in XLA so the draws are bit-identical to the XLA path's
+jax.random.normal; the reference stage order is preserved
 (brightness -> contrast -> saturation -> hue -> gamma -> blur -> noise ->
 clamp, /root/reference/src/foundation_stereo_depth/dataset.py:214-270).
 
@@ -30,12 +30,57 @@ import jax.numpy as jnp
 from .augment import _GRAY_WEIGHTS, AugmentConfig, gaussian_blur, sample_factors
 
 # factors packed per view: brightness, contrast, saturation, hue, gamma,
-# gray-mean (of the brightness-adjusted view, for the contrast blend)
-_F_PER_VIEW = 6
+# gray-mean (of the brightness-adjusted view, for the contrast blend),
+# blur-on flag, blur sigma
+_F_PER_VIEW = 8
+
+# Whole-image blocks (required for in-kernel blur, which needs no halo when
+# the full image sits in VMEM) up to this many pixels; larger images use
+# row-blocked kernels with the blur composed in XLA.
+_FULL_IMAGE_MAX_PIXELS = 160_000
 
 
-def _augment_kernel(f_ref, x_ref, o_ref):
+def _blur_plane(plane, sigma, k: int):
+    """Separable reflect-padded Gaussian over one (H, W) VMEM plane.
+
+    Same kernel definition as ops/augment.py::gaussian_blur; weights are
+    built from the SMEM scalar sigma with k static."""
+    half = (k - 1) * 0.5
+    raw = [jnp.exp(-0.5 * ((i - half) / sigma) ** 2) for i in range(k)]
+    norm = sum(raw)
+    weights = [r / norm for r in raw]
+    pad = k // 2
+
+    def along(p, axis: int):
+        size = p.shape[axis]
+
+        def row(i):
+            index = [slice(None), slice(None)]
+            index[axis] = slice(i, i + 1)
+            return p[tuple(index)]
+
+        # reflect: [pad..1], body, [size-2..size-1-pad]
+        pieces = [row(i) for i in range(pad, 0, -1)]
+        pieces.append(p)
+        pieces += [row(size - 2 - i) for i in range(pad)]
+        padded = jnp.concatenate(pieces, axis=axis)
+        out = None
+        for tap in range(k):
+            index = [slice(None), slice(None)]
+            index[axis] = slice(tap, tap + size)
+            term = padded[tuple(index)] * weights[tap]
+            out = term if out is None else out + term
+        return out
+
+    return along(along(plane, 0), 1)
+
+
+def _augment_kernel(f_ref, x_ref, o_ref, *, blur_k: int = 0):
     """Block: x (1, 6, bh, W) uint8 -> o (1, 6, bh, W) float32.
+
+    ``blur_k > 0`` additionally applies the probabilistic Gaussian blur
+    in-kernel (requires whole-image blocks: the blur is computed entirely
+    in VMEM, no halo exchange).
 
     Per-view processing on (bh, W) channel planes with plain SMEM scalars —
     Mosaic rejects both tiny vectorised factor shapes ((2,1,1) stacks) and
@@ -102,11 +147,15 @@ def _augment_kernel(f_ref, x_ref, o_ref):
             k = jnp.mod(n + h6, 6.0)
             return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
 
-        # gamma (gain 1) then store each channel plane
+        # gamma (gain 1), optional in-kernel blur, then store each plane
+        blur_on = f_ref[image_index, base + 6]
+        blur_sigma = f_ref[image_index, base + 7]
         for idx, ch in ((0, channel(5.0)), (1, channel(3.0)), (2, channel(1.0))):
-            o_ref[0, view * 3 + idx] = jnp.clip(
-                jnp.clip(ch, 0.0, 1.0) ** fg, 0.0, 1.0
-            )
+            plane = jnp.clip(jnp.clip(ch, 0.0, 1.0) ** fg, 0.0, 1.0)
+            if blur_k > 0:
+                blurred = _blur_plane(plane, blur_sigma, blur_k)
+                plane = jnp.where(blur_on > 0.0, blurred, plane)
+            o_ref[0, view * 3 + idx] = plane
 
 
 def _h_block(h: int, preferred: int = 48) -> int:
@@ -116,19 +165,20 @@ def _h_block(h: int, preferred: int = 48) -> int:
     return h
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("blur_k", "interpret"))
 def _pointwise_chain(
-    images_u8: jnp.ndarray, factors_packed: jnp.ndarray, *, interpret: bool = False
+    images_u8: jnp.ndarray, factors_packed: jnp.ndarray, *,
+    blur_k: int = 0, interpret: bool = False
 ) -> jnp.ndarray:
-    """(N, H, W, 6) uint8 + (N, 12) factors -> (N, H, W, 6) float32."""
+    """(N, H, W, 6) uint8 + (N, 16) factors -> (N, H, W, 6) float32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, h, w, _ = images_u8.shape
     planar = jnp.transpose(images_u8, (0, 3, 1, 2))  # (N, 6, H, W)
-    bh = _h_block(h)
+    bh = h if blur_k > 0 else _h_block(h)  # blur-in-kernel: whole image
     out = pl.pallas_call(
-        _augment_kernel,
+        functools.partial(_augment_kernel, blur_k=blur_k),
         grid=(n, h // bh),
         in_specs=[
             # Whole factors array in SMEM (TPU requires SMEM blocks to match
@@ -155,7 +205,7 @@ def _pointwise_chain(
 def _pack_factors(
     images_u8: jnp.ndarray, factors: dict[str, jnp.ndarray], n: int
 ) -> jnp.ndarray:
-    """(N, 12) per-image factor rows; also computes the contrast gray means
+    """(N, 16) per-image factor rows; also computes the contrast gray means
     (mean luma of the brightness-adjusted view) with one fused XLA reduce
     over the uint8 input."""
     w = jnp.asarray(_GRAY_WEIGHTS, jnp.float32)
@@ -176,11 +226,12 @@ def _pack_factors(
                 [
                     fv["brightness"], fv["contrast"], fv["saturation"],
                     fv["hue"], fv["gamma"], gray_mean,
+                    fv["blur_on"].astype(jnp.float32), fv["blur_sigma"],
                 ],
                 axis=1,
             )
         )
-    return jnp.concatenate(rows, axis=1)  # (N, 12)
+    return jnp.concatenate(rows, axis=1)  # (N, 16)
 
 
 def augment_stereo_batch_pallas(
@@ -196,17 +247,26 @@ def augment_stereo_batch_pallas(
     and returns float32 in [0, 1]. Factor sampling, stage order and math
     match the XLA path; blur and noise run in XLA after the kernel.
     """
-    n = stereo_u8.shape[0]
+    n, h, w, _ = stereo_u8.shape
     k_factors, k_noise_l, k_noise_r = jax.random.split(key, 3)
     factors = sample_factors(k_factors, 2 * n, config)
     packed = _pack_factors(stereo_u8, factors, n)
-    out = _pointwise_chain(stereo_u8, packed, interpret=interpret)
+
+    blur_enabled = config.blur_prob > 0.0 and config.blur_sigma_max > 0.0
+    # In-kernel blur needs the whole image in VMEM (no halo); fall back to
+    # the XLA blur for larger images.
+    blur_in_kernel = blur_enabled and h * w <= _FULL_IMAGE_MAX_PIXELS
+    out = _pointwise_chain(
+        stereo_u8, packed,
+        blur_k=config.blur_kernel_size if blur_in_kernel else 0,
+        interpret=interpret,
+    )
 
     views = []
     for view, sl, k_noise in ((0, slice(0, 3), k_noise_l), (1, slice(3, 6), k_noise_r)):
         fv = {k: v[view * n : (view + 1) * n] for k, v in factors.items()}
         img = out[..., sl]
-        if config.blur_prob > 0.0 and config.blur_sigma_max > 0.0:
+        if blur_enabled and not blur_in_kernel:
             blurred = gaussian_blur(img, fv["blur_sigma"], config.blur_kernel_size)
             img = jnp.where(
                 fv["blur_on"].astype(jnp.float32)[:, None, None, None] > 0,
