@@ -113,3 +113,22 @@ def test_pallas_matches_xla_across_configs_and_shapes() -> None:
         np.testing.assert_allclose(
             out, ref, atol=2e-5, err_msg=f"case {seed}: {cfg}"
         )
+
+
+def test_large_image_falls_back_to_xla_blur() -> None:
+    """Images beyond the whole-image VMEM budget use the row-blocked kernel
+    with the blur composed in XLA — outputs still match the XLA chain."""
+    from stereo_depth_estimation_tpu.ops import augment_pallas as ap
+
+    h, w = 450, 400
+    assert h * w > ap._FULL_IMAGE_MAX_PIXELS  # exercises the fallback
+    x = np.random.default_rng(3).integers(0, 256, (1, h, w, 6), dtype=np.uint8)
+    cfg = AugmentConfig(blur_prob=1.0)
+    key = jax.random.key(11)
+    ref = np.asarray(
+        augment_stereo_batch(key, jnp.asarray(x).astype(jnp.float32) / 255.0, cfg)
+    )
+    out = np.asarray(
+        augment_stereo_batch_pallas(key, jnp.asarray(x), cfg, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
