@@ -111,7 +111,14 @@ def _make_step_body(
             and raw.dtype == jnp.uint8
             and (
                 augment_config.impl == "pallas"
-                or jax.default_backend() == "tpu"
+                or (
+                    jax.default_backend() == "tpu"
+                    # Auto-pallas only where validated: a single chip. On a
+                    # multi-chip mesh GSPMD would have to partition the
+                    # pallas_call, which is unverified here — the XLA chain
+                    # partitions exactly like the rest of the step.
+                    and jax.device_count() == 1
+                )
             )
         ):
             # Fused Pallas pointwise chain consumes the uint8 batch directly
