@@ -1,7 +1,8 @@
 """Host input-pipeline micro-benchmark: decode paths, workers, cache tiers.
 
-The end-to-end target includes decode, and the chip consumes ~791 pairs/s
-(docs/PERF.md) — so the host must source at least that. This measures what
+The end-to-end target includes decode, and the host must source at least
+what the chip consumes (see docs/PERF.md / the latest BENCH_r*.json for the
+current chip rate; override with --chip-rate). This measures what
 each tier of the input pipeline actually delivers on this machine:
 
 1. raw source (PIL decode + resize per sample), num_workers in {0, 4, 8};
@@ -36,7 +37,9 @@ from stereo_depth_estimation_tpu.data.pipeline import batch_iterator, loader_fet
 from stereo_depth_estimation_tpu.data.samples import discover_samples
 from stereo_depth_estimation_tpu.ops.codec import disparity_encode_np
 
-CHIP_PAIRS_PER_SEC = 791.0  # docs/PERF.md, batch 128 on one v5e
+# Default comparison rate; pass --chip-rate to pin to the latest measured
+# number (BENCH_r*.json) since this drifts with every perf round.
+CHIP_PAIRS_PER_SEC = 1500.0
 SOURCE_HW = (480, 640)
 TARGET_HW = (240, 320)
 
@@ -78,8 +81,14 @@ def report(name: str, samples_per_sec: float) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    global CHIP_PAIRS_PER_SEC
+    argv = list(sys.argv[1:])
+    if "--chip-rate" in argv:
+        i = argv.index("--chip-rate")
+        CHIP_PAIRS_PER_SEC = float(argv[i + 1])
+        del argv[i : i + 2]
+    n = int(argv[0]) if len(argv) > 0 else 64
+    batch_size = int(argv[1]) if len(argv) > 1 else 32
 
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp) / "src"

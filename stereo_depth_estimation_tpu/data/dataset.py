@@ -39,6 +39,7 @@ class StereoSampleLoader:
         image_size: tuple[int, int] = (240, 320),
         cache_root: str | Path | None = None,
         require_cache: bool = False,
+        float_inputs: bool = False,
     ) -> None:
         self.samples = list(samples)
         self.image_size = image_size
@@ -46,6 +47,12 @@ class StereoSampleLoader:
             Path(cache_root).expanduser().resolve() if cache_root is not None else None
         )
         self.require_cache = require_cache
+        # float_inputs reproduces the reference's uncached training path
+        # (its dataset.py:184-193 feeds float32 resized images when no cache
+        # is configured; only its CACHE quantises to uint8). Default stays
+        # uint8 — 4x smaller host->device copies — exposed as the trainer's
+        # --input-precision float32 for exact reference float semantics.
+        self.float_inputs = float_inputs
         if len(self.samples) == 0:
             raise ValueError("No samples were provided.")
 
@@ -111,9 +118,9 @@ class StereoSampleLoader:
         return left, right, target
 
     def __getitem__(self, index: int) -> dict[str, np.ndarray]:
-        """Reference-shaped item: input (H,W,6) u8, target (H,W) f32,
-        valid_mask (H,W) bool."""
-        left, right, target = self.load(index)
+        """Reference-shaped item: input (H,W,6) u8 (or f32 in [0,1] with
+        ``float_inputs``), target (H,W) f32, valid_mask (H,W) bool."""
+        left, right, target = self.load(index, as_float=self.float_inputs)
         return {
             "input": np.concatenate([left, right], axis=-1),
             "target": target,

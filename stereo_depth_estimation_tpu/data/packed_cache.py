@@ -60,7 +60,13 @@ class PackedCacheWriter:
         }
         if extra_meta:
             meta.update(extra_meta)
-        (self.root / "meta.json").write_text(json.dumps(meta, indent=2))
+        # meta.json is the cache's completion marker: it is written LAST and
+        # renamed into place atomically, so any process that can read it (a
+        # multihost follower polling for the build, trainer.py) is guaranteed
+        # complete .bin payloads underneath.
+        tmp = self.root / "meta.json.tmp"
+        tmp.write_text(json.dumps(meta, indent=2))
+        tmp.replace(self.root / "meta.json")
         return meta
 
 

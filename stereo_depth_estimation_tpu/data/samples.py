@@ -64,8 +64,14 @@ def split_samples(
 ) -> tuple[list[T], list[T]]:
     """Seeded shuffle; val takes the tail ``max(int(n*frac), 1)`` items."""
     if not 0.0 <= val_fraction < 1.0:
-        raise ValueError(f"--val-fraction must be in [0, 1), got: {val_fraction}")
+        raise ValueError(
+            f"val_fraction outside the valid range [0, 1): {val_fraction}"
+        )
 
+    # The shuffle order is the split contract: random.Random(seed) over the
+    # discovery-sorted list must match the reference exactly, or a cache/
+    # checkpoint trained against one split would silently validate on its own
+    # training samples under the other.
     shuffled = list(samples)
     random.Random(seed).shuffle(shuffled)
 
@@ -75,8 +81,8 @@ def split_samples(
     val_count = max(int(len(shuffled) * val_fraction), 1)
     if require_non_empty_train and val_count >= len(shuffled):
         raise ValueError(
-            "Validation set consumes all data. Reduce --val-fraction or "
-            "provide more samples."
+            f"val_fraction={val_fraction} leaves no training samples "
+            f"(n={len(shuffled)}); lower it or add data."
         )
     val_count = min(val_count, len(shuffled))
     return shuffled[:-val_count], shuffled[-val_count:]

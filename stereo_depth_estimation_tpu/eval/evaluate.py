@@ -22,6 +22,7 @@ from ..data.pipeline import batch_iterator, loader_fetch, prefetch_to_device
 from ..data.samples import discover_samples, split_samples
 from ..models.unet import StereoUNet
 from ..ops.loss import LossStats, accumulate_stats, metrics_from_stats
+from ..parallel.mesh import make_mesh, replicate_to_mesh, shard_batch_to_mesh
 from ..parallel.train_step import TrainState, make_eval_step
 from ..training.checkpoint import load_model_variables, resolve_checkpoint_path
 
@@ -52,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint-name", type=str, default="last")
     parser.add_argument("--base-channels", type=int, default=32,
                         help="UNet width; must match the checkpoint's.")
+    parser.add_argument("--device", type=str, default="auto",
+                        help="Device platform (auto/cpu/tpu).")
+    parser.add_argument("--mesh-devices", type=int, default=0,
+                        help="Devices on the data axis (0 = all visible); "
+                             "batches shard over the mesh like training.")
+    parser.add_argument("--spatial-devices", type=int, default=1,
+                        help=">1: shard image height over a 2nd mesh axis.")
     return parser
 
 
@@ -86,6 +94,17 @@ def evaluate(args: argparse.Namespace) -> dict:
         opt_state=(),
         rng=jax.random.key(0),
     )
+    # Scale scoring over the mesh exactly like training: params replicated,
+    # batches sharded on the data axis with pad-and-mask for indivisible
+    # batch/tail sizes (exact — eval-mode BN uses running stats and every
+    # metric is a masked sum, tests/test_eval_mesh.py).
+    from ..training.trainer import resolve_devices
+
+    mesh = make_mesh(
+        resolve_devices(getattr(args, "device", "auto"), args.mesh_devices),
+        spatial=args.spatial_devices,
+    )
+    state = replicate_to_mesh(state, mesh)
     eval_step = make_eval_step(model)
 
     loader = StereoSampleLoader(
@@ -97,7 +116,8 @@ def evaluate(args: argparse.Namespace) -> dict:
         batch_iterator(
             loader_fetch(loader, num_workers=args.num_workers),
             len(loader), args.batch_size,
-        )
+        ),
+        put=lambda batch: shard_batch_to_mesh(batch, mesh),
     )
     for batch in batches:
         total = accumulate_stats(total, eval_step(state, batch))

@@ -46,6 +46,12 @@ class TrainConfig:
     blur_sigma_max: float = 1.0
     blur_kernel_size: int = 5
     augment_impl: str = "auto"  # auto|xla|pallas (ops/augment.py)
+    # uint8 matches the reference's CACHED path (its cache quantises, ref
+    # dataset.py:118-123) and is the throughput default (4x smaller H2D).
+    # float32 reproduces the reference's UNCACHED float semantics exactly
+    # (ref dataset.py:184-193). Incompatible with the packed cache (uint8
+    # storage format).
+    input_precision: str = "uint8"  # uint8|float32
     # --- TPU-native additions (no reference counterpart) ---
     base_channels: int = 32  # UNet width; 32 = reference spec (7.76M params)
     mesh_devices: int = 0  # 0 = all visible devices (data-parallel axis)
@@ -132,6 +138,11 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         choices=("auto", "xla", "pallas"), dest="augment_impl",
         help="Augmentation implementation (pallas = fused TPU kernel for "
              "the pointwise stages; see docs/PERF.md).")
+    add("--input-precision", type=str, default=defaults.input_precision,
+        choices=("uint8", "float32"), dest="input_precision",
+        help="Host batch image precision. uint8 (default) matches the "
+             "reference's cached-path quantisation; float32 reproduces its "
+             "uncached float path exactly (not usable with the packed cache).")
     # TPU-native flags
     add("--base-channels", type=int, default=defaults.base_channels,
         help="UNet width multiplier (32 = reference architecture).")

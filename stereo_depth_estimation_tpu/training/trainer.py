@@ -119,6 +119,7 @@ def tracking_params(
         "base_channels": cfg.base_channels,
         "device_resident": cfg.device_resident,
         "augment_impl": cfg.augment_impl,
+        "input_precision": cfg.input_precision,
     }
     if cfg.augment:
         params.update(
@@ -243,13 +244,42 @@ def _make_fetch(
         image_size=(cfg.height, cfg.width),
         cache_root=cfg.cache_root,
         require_cache=cfg.require_cache,
+        float_inputs=cfg.input_precision == "float32",
     )
     if packed_root is not None:
+        if cfg.input_precision == "float32":
+            raise ValueError(
+                "--input-precision float32 cannot be combined with "
+                "--packed-cache-root: the packed cache stores uint8 images. "
+                "Drop one of the two flags."
+            )
         fingerprint = samples_fingerprint(samples)
         meta_path = packed_root / "meta.json"
+
+        def meta_is_current() -> bool:
+            """True iff meta.json exists and describes THIS split/geometry.
+
+            meta.json is written atomically LAST by the builder
+            (PackedCacheWriter.finalize), so a current meta also guarantees
+            complete .bin payloads — this is what makes the follower wait
+            race-free: a follower can never accept a cache that process 0 is
+            mid-rebuild on, because the stale meta it might briefly observe
+            fails this fingerprint/geometry check and the fresh meta only
+            appears after the bins are fully rewritten.
+            """
+            try:
+                meta = json.loads(meta_path.read_text())
+            except (FileNotFoundError, json.JSONDecodeError):
+                return False
+            return (
+                meta.get("split_fingerprint") == fingerprint
+                and (meta.get("height"), meta.get("width"))
+                == (cfg.height, cfg.width)
+            )
+
         if not main_process:
             deadline = time.time() + 3600.0
-            while not meta_path.exists():
+            while not meta_is_current():
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"Timed out waiting for process 0 to build {packed_root}"
@@ -257,21 +287,18 @@ def _make_fetch(
                 time.sleep(1.0)
             cache = PackedCache(packed_root)
             return cache.gather, len(cache), cache
-        if meta_path.exists():
-            stale = (
-                json.loads(meta_path.read_text()).get("split_fingerprint")
-                != fingerprint
+        if meta_path.exists() and not meta_is_current():
+            # Same counts can hide a different split membership (other
+            # seed/val-fraction/max-samples): serving it would leak train
+            # samples into val. A size change would feed wrong-shape
+            # batches. Rebuild instead — meta first, so followers stop
+            # trusting the cache before the bins churn.
+            print(
+                f"Packed cache at {packed_root} was built for a different "
+                "sample split or image size; rebuilding."
             )
-            if stale:
-                # Same counts can hide a different split membership (other
-                # seed/val-fraction/max-samples): serving it would leak
-                # train samples into val. Rebuild instead.
-                print(
-                    f"Packed cache at {packed_root} was built for a "
-                    "different sample split; rebuilding."
-                )
-                for name in ("meta.json", "images.bin", "disparity.bin"):
-                    (packed_root / name).unlink(missing_ok=True)
+            for name in ("meta.json", "images.bin", "disparity.bin"):
+                (packed_root / name).unlink(missing_ok=True)
         if not meta_path.exists():
             print(f"Building packed cache at {packed_root} ...")
             build_packed_cache(
@@ -365,14 +392,6 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     preview_source = val_samples if val_samples else train_samples
     preview_split = "val" if val_samples else "train"
     preview_count = min(cfg.preview_samples, len(preview_source))
-    if cfg.multihost and jax.process_count() > 1 and preview_count > 0:
-        # Preview inference from one process on globally-sharded state would
-        # violate SPMD (collective deadlock); montages need a gather path
-        # that isn't worth it for a debug artifact. Train/val metrics and
-        # checkpoints are unaffected.
-        if main_process:
-            print("Preview montages are disabled in multihost runs.")
-        preview_count = 0
 
     model = StereoUNet(
         in_channels=6,
@@ -649,7 +668,18 @@ def log_epoch_previews(
     items = [loader[i] for i in range(len(loader))]
     inputs = np.stack([it["input"] for it in items])
     targets = np.stack([it["target"] for it in items])
-    disp, _ = predict(state.params, state.batch_stats, jnp.asarray(inputs))
+    params, batch_stats = state.params, state.batch_stats
+    if jax.process_count() > 1:
+        # Multihost (reference logs montages every epoch too, train.py:
+        # 640-651): the state is fully replicated over the global mesh, so
+        # its values are readable from any single process's local shard.
+        # Pull them to host and run the predict as a purely process-local
+        # program — no collectives, no SPMD hazard, only process 0 executes
+        # this function.
+        params, batch_stats = jax.tree.map(
+            lambda a: np.asarray(a), (params, batch_stats)
+        )
+    disp, _ = predict(params, batch_stats, jnp.asarray(inputs))
     disp = np.asarray(jax.device_get(disp))
     written = 0
     for i in range(inputs.shape[0]):

@@ -71,13 +71,17 @@ def test_train_end_to_end(dataset_root: Path) -> None:
     assert np.isfinite(summary["best_val_mae"])
     previews = list((run_dir / "mlflow_previews").rglob("*.png"))
     assert len(previews) == 2 * 2  # 2 samples x 2 epochs
-    # tracking fallback wrote metrics
-    metrics_files = list(Path(cfg.mlflow_tracking_uri).rglob("metrics.jsonl"))
-    assert metrics_files
-    lines = [json.loads(line) for line in metrics_files[0].read_text().splitlines()]
-    keys = {k for line in lines for k in line}
+    # tracking wrote MLflow FileStore-format metrics (one file per key,
+    # lines of "<ts_ms> <value> <step>") under <uri>/<exp_id>/<run_id>/metrics
+    metric_files = list(Path(cfg.mlflow_tracking_uri).glob("*/*/metrics/*"))
+    keys = {p.name for p in metric_files}
     assert {"train_loss_step", "train_mae_step", "train_loss", "val_mae",
             "epoch_seconds"} <= keys
+    for line in (
+        next(p for p in metric_files if p.name == "val_mae").read_text().splitlines()
+    ):
+        ts, value, step = line.split()
+        assert int(ts) > 0 and np.isfinite(float(value)) and int(step) >= 1
     meta = json.loads(
         (run_dir / "checkpoints" / "last" / "meta.json").read_text()
     )
@@ -126,6 +130,43 @@ def test_train_with_packed_cache(dataset_root: Path, tmp_path: Path) -> None:
     assert (tmp_path / "packed" / "train" / "meta.json").exists()
     assert (tmp_path / "packed" / "val" / "meta.json").exists()
     assert np.isfinite(summary["best_val_mae"])
+
+
+def test_float32_input_precision_trains(dataset_root: Path, tmp_path: Path) -> None:
+    """--input-precision float32 reproduces the reference's uncached float
+    path (its dataset.py:184-193): the loader feeds float32 resized images
+    with no uint8 quantisation round-trip, end to end."""
+    from stereo_depth_estimation_tpu.data.dataset import StereoSampleLoader
+    from stereo_depth_estimation_tpu.data.samples import discover_samples
+
+    samples = discover_samples(dataset_root / "data")
+    f32 = StereoSampleLoader(samples, image_size=(32, 32), float_inputs=True)[0]
+    u8 = StereoSampleLoader(samples, image_size=(32, 32))[0]
+    assert f32["input"].dtype == np.float32
+    assert u8["input"].dtype == np.uint8
+    # The float path carries sub-quantisation precision.
+    assert not np.array_equal(
+        np.clip(f32["input"] * 255, 0, 255).astype(np.uint8) / np.float32(255),
+        f32["input"],
+    )
+
+    cfg = _config(
+        dataset_root,
+        epochs=1,
+        input_precision="float32",
+        output_dir=str(tmp_path / "out"),
+        mlflow_tracking_uri=str(tmp_path / "t"),
+        preview_samples=0,
+    )
+    summary = train(cfg)
+    assert np.isfinite(summary["best_val_mae"])
+
+    with pytest.raises(ValueError, match="float32 cannot be combined"):
+        train(_config(
+            dataset_root,
+            input_precision="float32",
+            packed_cache_root=str(tmp_path / "packed"),
+        ))
 
 
 def test_parse_args_defaults_match_reference() -> None:
@@ -211,14 +252,18 @@ def test_offline_evaluate_matches_training_val_metrics(
     ckpt = Path(summary["checkpoints_dir"]) / "last"
     meta = json.loads((ckpt / "meta.json").read_text())
 
-    result = evaluate(build_parser().parse_args([
+    common = [
         "--dataset-root", str(dataset_root / "data"),
         "--checkpoint", str(ckpt),
         "--height", "32", "--width", "32",
         "--val-fraction", "0.25", "--seed", "42",
         "--batch-size", "4", "--num-workers", "0",
         "--base-channels", "8",
-    ]))
+    ]
+    # Default --mesh-devices 0 scores over ALL visible devices (the 8-CPU
+    # farm here), pad-and-masking the 3-sample tail batch; it must agree
+    # with the single-device score AND the trainer's own val metrics.
+    result = evaluate(build_parser().parse_args(common))
     assert result["checkpoint_epoch"] == 1
     assert result["split"] == "val"
     np.testing.assert_allclose(
@@ -227,6 +272,10 @@ def test_offline_evaluate_matches_training_val_metrics(
     np.testing.assert_allclose(
         result["rmse"], meta["metrics"]["val_rmse"], rtol=1e-5
     )
+    single = evaluate(build_parser().parse_args(common + ["--mesh-devices", "1"]))
+    assert single["valid_pixels"] == result["valid_pixels"]
+    np.testing.assert_allclose(single["mae"], result["mae"], rtol=1e-6)
+    np.testing.assert_allclose(single["nll"], result["nll"], rtol=1e-6)
 
 
 def test_device_resident_training(dataset_root: Path, tmp_path: Path) -> None:
