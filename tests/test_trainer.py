@@ -140,8 +140,11 @@ def test_float32_input_precision_trains(dataset_root: Path, tmp_path: Path) -> N
     from stereo_depth_estimation_tpu.data.samples import discover_samples
 
     samples = discover_samples(dataset_root / "data")
-    f32 = StereoSampleLoader(samples, image_size=(32, 32), float_inputs=True)[0]
-    u8 = StereoSampleLoader(samples, image_size=(32, 32))[0]
+    # Load at a non-native size: the fixture PNGs are 32x32, and an identity
+    # resize would reproduce exact uint8/255 grid values, making the
+    # sub-quantisation assertion below vacuous.
+    f32 = StereoSampleLoader(samples, image_size=(24, 24), float_inputs=True)[0]
+    u8 = StereoSampleLoader(samples, image_size=(24, 24))[0]
     assert f32["input"].dtype == np.float32
     assert u8["input"].dtype == np.uint8
     # The float path carries sub-quantisation precision.
