@@ -18,8 +18,8 @@ timed out, BENCH_r01.json rc=124):
   standard augmented train step) instead of one fused or scanned program:
   the fused/scanned variants take the platform's TPU toolchain >12 min to
   compile, the split compiles in ~17 s and dispatches asynchronously, so
-  steps pipeline and throughput stays compute-bound (measured ~115k
-  pairs/s at batch 128),
+  steps pipeline and throughput stays compute-bound (current measured
+  numbers live in docs/PERF.md and BENCH_r*.json),
 - the persistent compilation cache is enabled, so repeat runs skip the
   one-time XLA compile,
 - stage progress goes to stderr so a timeout is diagnosable,
@@ -64,6 +64,7 @@ def main() -> None:
     from stereo_depth_estimation_tpu.parallel import create_train_state, make_adamw
     from stereo_depth_estimation_tpu.parallel.train_step import (
         make_device_data_train_step,
+        make_train_step,
     )
 
     hw = (240, 320)
@@ -100,8 +101,13 @@ def main() -> None:
     jax.block_until_ready(state.params)
     _log(f"train state initialised (jitted) in {time.perf_counter() - t:.1f}s")
 
+    # One compiled step program serves both measurements: the device-resident
+    # path wraps it behind an on-device gather, the streamed path feeds it
+    # host batches (identical avals -> no second compile).
+    inner_step = make_train_step(model, tx, AugmentConfig())
     step = make_device_data_train_step(
-        model, tx, images_dev, targets_dev, batch_size, AugmentConfig()
+        model, tx, images_dev, targets_dev, batch_size, AugmentConfig(),
+        step_fn=inner_step,
     )
 
     t = time.perf_counter()
@@ -140,6 +146,9 @@ def main() -> None:
 
     pairs = steps * batch_size
     pairs_per_sec = pairs / elapsed
+
+    streamed = bench_streamed_path(state, inner_step, batch_size, hw, n_samples)
+
     print(
         json.dumps(
             {
@@ -150,9 +159,83 @@ def main() -> None:
                 "batch_size": batch_size,
                 "compile_seconds": round(compile_seconds, 2),
                 "steps_measured": steps,
+                **streamed,
             }
         )
     )
+
+
+def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
+    """The PRODUCTION path users run with --packed-cache-root: a packed
+    memmap cache on host disk -> per-epoch shuffled batch gather ->
+    prefetch_to_device (background H2D) -> the same jitted step.
+
+    Measured separately from the device-resident number because it crosses
+    the host boundary every step; on this bench platform the device
+    transport is a network tunnel, so the gap between the two numbers is
+    dominated by tunnel bandwidth, not framework overhead (a locally
+    attached chip pays ~59 MB / PCIe-or-better per 128-batch; see
+    docs/PERF.md)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from stereo_depth_estimation_tpu.data.packed_cache import (
+        PackedCache,
+        PackedCacheWriter,
+    )
+    from stereo_depth_estimation_tpu.data.pipeline import (
+        batch_iterator,
+        prefetch_to_device,
+    )
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_packed_")
+    try:
+        rng = np.random.default_rng(0)
+        writer = PackedCacheWriter(tmpdir, hw)
+        for _ in range(n_samples):
+            img = rng.integers(0, 256, (*hw, 6), dtype=np.uint8)
+            disp = rng.uniform(0.5, 64.0, hw).astype(np.float32)
+            writer.add(img[..., :3], img[..., 3:], disp)
+        writer.finalize()
+        cache = PackedCache(tmpdir)
+        _log(f"streamed: packed cache written ({n_samples} samples)")
+
+        def epoch(ep: int):
+            return prefetch_to_device(
+                batch_iterator(
+                    cache.gather, n_samples, batch_size,
+                    shuffle=True, seed=0, epoch=ep,
+                )
+            )
+
+        stats = None
+        # Warm (first window discarded like the main measurement).
+        for batch in epoch(0):
+            state2, stats = step(state, batch)
+            state = state2
+        _ = float(np.asarray(stats.nll_sum))
+
+        steps = 0
+        start = time.perf_counter()
+        ep = 1
+        while time.perf_counter() - start < MEASURE_SECONDS:
+            for batch in epoch(ep):
+                state, stats = step(state, batch)
+                steps += 1
+            _ = float(np.asarray(stats.nll_sum))
+            ep += 1
+        _ = float(np.asarray(stats.nll_sum))
+        elapsed = time.perf_counter() - start
+        rate = steps * batch_size / elapsed
+        _log(f"streamed: {steps} steps in {elapsed:.1f}s = {rate:.1f} pairs/s")
+        return {
+            "streamed_pairs_per_sec": round(rate, 1),
+            "streamed_steps_measured": steps,
+        }
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,8 @@ TPU-first design choices (not a port):
 
 from __future__ import annotations
 
-from typing import Any
+import functools
+from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax
@@ -43,6 +44,10 @@ class BatchNorm(nn.Module):
     momentum: float = 0.1
     epsilon: float = 1e-5
     compute_dtype: Any = jnp.float32
+    # dtype the batch mean/E[x^2] reductions run in. float32 matches torch
+    # exactly; bfloat16 is a measured-perf experiment knob (see docs/PERF.md)
+    # — running stats and the normalisation scale stay float32 either way.
+    stats_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
@@ -59,9 +64,10 @@ class BatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            xf = x.astype(self.stats_dtype)
+            mean = jnp.mean(xf, axis=(0, 1, 2)).astype(jnp.float32)
+            mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2)).astype(jnp.float32)
+            var = mean_sq - jnp.square(mean)
             if not self.is_initializing():
                 n = x.shape[0] * x.shape[1] * x.shape[2]
                 unbiased = var * (n / max(n - 1, 1))
@@ -83,15 +89,227 @@ class BatchNorm(nn.Module):
         return y
 
 
+def max_pool_2x2(v: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max pool (reduce_window, like nn.max_pool).
+
+    A strided-slice maximum-tree rewrite (``maximum(v[:, ::2], v[:, 1::2])``
+    twice) was built and measured on the v5e in round 3 to attack the
+    select-and-scatter backward (~4 ms/step at 0.1 TFLOP/s): XLA lowered
+    the stride-2 slices to GATHERS with s32 index vectors and their
+    transposes to scatter-adds, costing ~40 ms/step — a 6x regression over
+    reduce_window's select-and-scatter (docs/PERF.md). reduce_window it is.
+    """
+    return nn.max_pool(v, window_shape=(2, 2), strides=(2, 2))
+
+
+class _FusedBNConfig(NamedTuple):
+    eps: float
+    compute_dtype: Any
+    stats_dtype: Any
+
+
+def _conv3x3(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _fcbr_fwd_math(
+    cfg: _FusedBNConfig,
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+):
+    """Conv3x3 -> batch-stat BN -> ReLU, numerically identical to the
+    nn.Conv + BatchNorm(+relu) composition above (same cast points)."""
+    cd = cfg.compute_dtype
+    z = _conv3x3(x.astype(cd), kernel.astype(cd))
+    zf = z.astype(cfg.stats_dtype)
+    mean = jnp.mean(zf, axis=(0, 1, 2)).astype(jnp.float32)
+    mean_sq = jnp.mean(jnp.square(zf), axis=(0, 1, 2)).astype(jnp.float32)
+    var = mean_sq - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + cfg.eps) * scale
+    a = (z - mean.astype(cd)) * inv.astype(cd) + bias.astype(cd)
+    return jnp.maximum(a, 0), z, mean, var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_conv_bn_relu(
+    cfg: _FusedBNConfig,
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+):
+    """Training-mode Conv3x3+BN+ReLU with a hand-scheduled backward.
+
+    Built for the round-3 MFU push: the TPU profile (docs/PERF.md) showed
+    the step 69.5% HBM-bound, dominated by the full/half-resolution
+    ConvBlock backwards. This VJP stores ONLY the pre-BN conv output ``z``
+    (plus the chain input and the (C,)-stats), recomputes the ReLU mask
+    and x-hat from ``z`` elementwise, and feeds the conv data/filter
+    gradients one clean cotangent tensor. Gradient math is the textbook
+    batch-stat BN backward — identical to autodiff up to float
+    reassociation (tests/test_model.py pins it).
+
+    MEASURED RESULT (v5e, batch 128): a per-layer tie with XLA's autodiff
+    — identical device self-time in every layer group (bwd:dec1 15.5 vs
+    15.6 ms/step) — i.e. XLA's own backward already emits this minimal
+    schedule post-fusion. Kept off by default (StereoUNet.fused_block) as
+    a pinned-correct experiment harness for future emitter regressions.
+    """
+    y, _z, mean, var = _fcbr_fwd_math(cfg, x, kernel, scale, bias)
+    return y, mean, var
+
+
+def _fcbr_fwd(cfg, x, kernel, scale, bias):
+    y, z, mean, var = _fcbr_fwd_math(cfg, x, kernel, scale, bias)
+    return (y, mean, var), (x, kernel, z, mean, var, scale, bias)
+
+
+def _fcbr_bwd(cfg, res, cts):
+    # mean/var outputs only feed the (non-differentiated) running-stat
+    # update, so their cotangents are structurally zero and ignored.
+    dy, _dmean, _dvar = cts
+    x, kernel, z, mean, var, scale, bias = res
+    cd = cfg.compute_dtype
+    n = z.shape[0] * z.shape[1] * z.shape[2]
+
+    inv = jax.lax.rsqrt(var + cfg.eps)  # (C,) f32
+    g = scale * inv
+    zc = z - mean.astype(cd)
+    # ReLU mask recomputed from z (elementwise; cheaper than storing the
+    # post-activation tensor for backward).
+    pre_relu = zc * g.astype(cd) + bias.astype(cd)
+    dyp = jnp.where(pre_relu > 0, dy, jnp.zeros((), dy.dtype))
+
+    # Per-channel BN reductions, f32 accumulation.
+    dbeta = jnp.sum(dyp, axis=(0, 1, 2), dtype=jnp.float32)
+    dzc_sum = jnp.sum(dyp * zc, axis=(0, 1, 2), dtype=jnp.float32)
+    dgamma = dzc_sum * inv
+
+    # dz = g*(dyp - dbeta/n - xhat*dgamma/n), xhat = zc*inv, folded into
+    # three (C,)-vector coefficients so the tensor pass is one fused FMA.
+    t1 = (g * (dbeta / n)).astype(cd)
+    t2 = (g * inv * (dgamma / n)).astype(cd)
+    dz = dyp * g.astype(cd) - t1 - zc * t2
+
+    # Clean conv backward: vjp through the bare conv gives XLA the
+    # data-gradient and filter-gradient convolutions with dz as their only
+    # large operand (the f32 cast transpose returns dkernel in f32).
+    _, conv_vjp = jax.vjp(
+        lambda xx, kk: _conv3x3(xx.astype(cd), kk.astype(cd)), x, kernel
+    )
+    dx, dkernel = conv_vjp(dz)
+    return dx, dkernel, dgamma, dbeta
+
+
+_fused_conv_bn_relu.defvjp(_fcbr_fwd, _fcbr_bwd)
+
+
+class ConvKernelParams(nn.Module):
+    """Parameter holder for a bias-free conv: declares the exact ``kernel``
+    param ``nn.Conv`` would (same name, shape, initializer, and therefore
+    the same per-scope init RNG draw), so the fused-backward block keeps a
+    checkpoint layout identical to the nn.Conv path."""
+
+    shape: tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class BNVars(nn.Module):
+    """Setup-style holder for BatchNorm params + running stats (same names
+    as the compact BatchNorm above) so the fused block can read scale/bias
+    before the batch statistics exist and fold the running-stat update in
+    afterwards."""
+
+    features: int
+    momentum: float = 0.1
+
+    def setup(self) -> None:
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        self.ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        self.ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+    def update(self, mean: jnp.ndarray, var: jnp.ndarray, n: int) -> None:
+        """Torch-exact running update: biased batch var -> unbiased store."""
+        if self.is_initializing():
+            return
+        m = self.momentum
+        unbiased = var * (n / max(n - 1, 1))
+        self.ra_mean.value = (1.0 - m) * self.ra_mean.value + m * mean
+        self.ra_var.value = (1.0 - m) * self.ra_var.value + m * unbiased
+
+
 class ConvBlock(nn.Module):
-    """(Conv3x3 no-bias -> BatchNorm -> ReLU) x2, NHWC."""
+    """(Conv3x3 no-bias -> BatchNorm -> ReLU) x2, NHWC.
+
+    Decoder blocks can run conv0 as two half-kernel convolutions over the
+    up-path and skip tensors (``skip=`` argument / StereoUNet.split_skip_conv)
+    instead of one conv over their concat — measured trade-offs in
+    docs/PERF.md."""
 
     features: int
     compute_dtype: Any = jnp.float32
+    bn_stats_dtype: Any = jnp.float32
+    # Hand-scheduled backward (see _fused_conv_bn_relu). Same math, same
+    # param/batch_stats tree; OFF here and selected per-model via
+    # StereoUNet.fused_block.
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        for i in range(2):
+    def __call__(
+        self, x: jnp.ndarray, train: bool, skip: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """When ``skip`` is given, the block computes
+        ConvBlock(concat([x, skip])) WITHOUT materialising the concat:
+        conv0 runs as two half-kernel convolutions summed. Same parameter
+        (one full-width conv0 kernel, sliced on read), same math up to
+        float reassociation of the channel sum. Motivation: the round-3
+        profile showed the concat's backward (a 'split' loop fusion
+        slicing the 1.26 GB cotangent into two copies) costing 10.4
+        ms/step across the decoder (docs/PERF.md); producing the two
+        halves directly by separate data-gradient convolutions removes
+        that pass entirely.
+        """
+        if self.fused:
+            assert skip is None, "split-skip is implemented on the XLA-AD path"
+            return self._call_fused(x, train)
+        start = 0
+        if skip is not None:
+            cd = self.compute_dtype
+            xc, sc = x.shape[-1], skip.shape[-1]
+            kernel = ConvKernelParams(
+                (3, 3, xc + sc, self.features), name="conv0"
+            )()
+            z = _conv3x3(x.astype(cd), kernel[:, :, :xc].astype(cd)) + _conv3x3(
+                skip.astype(cd), kernel[:, :, xc:].astype(cd)
+            )
+            z = BatchNorm(
+                compute_dtype=cd, stats_dtype=self.bn_stats_dtype, name="bn0"
+            )(z, use_running_average=not train)
+            x = nn.relu(z)
+            start = 1
+        for i in range(start, 2):
             x = nn.Conv(
                 self.features,
                 kernel_size=(3, 3),
@@ -101,11 +319,60 @@ class ConvBlock(nn.Module):
                 param_dtype=jnp.float32,
                 name=f"conv{i}",
             )(x)
-            x = BatchNorm(compute_dtype=self.compute_dtype, name=f"bn{i}")(
-                x, use_running_average=not train
-            )
+            x = BatchNorm(
+                compute_dtype=self.compute_dtype,
+                stats_dtype=self.bn_stats_dtype,
+                name=f"bn{i}",
+            )(x, use_running_average=not train)
             x = nn.relu(x)
         return x
+
+    def _call_fused(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        cd = self.compute_dtype
+        cfg = _FusedBNConfig(1e-5, cd, self.bn_stats_dtype)
+        for i in range(2):
+            kernel = ConvKernelParams(
+                (3, 3, x.shape[-1], self.features), name=f"conv{i}"
+            )()
+            bn = BNVars(self.features, name=f"bn{i}")
+            if train:
+                y, mean, var = _fused_conv_bn_relu(cfg, x, kernel, bn.scale, bn.bias)
+                bn.update(mean, var, x.shape[0] * x.shape[1] * x.shape[2])
+                x = y
+            else:
+                z = _conv3x3(x.astype(cd), kernel.astype(cd))
+                inv = jax.lax.rsqrt(bn.ra_var.value + cfg.eps) * bn.scale
+                x = jnp.maximum(
+                    (z - bn.ra_mean.value.astype(cd)) * inv.astype(cd)
+                    + bn.bias.astype(cd),
+                    0,
+                )
+        return x
+
+
+class Conv1x1Params(nn.Module):
+    """Parameter holder for a 1x1 conv head: declares the exact params
+    ``nn.Conv(features, (1, 1))`` would (same names, shapes, initializers)
+    without applying them, so the two output heads can be evaluated as ONE
+    fused conv over the shared full-resolution input (halving its reads in
+    forward and backward; the step is HBM-bound, docs/PERF.md) while the
+    checkpoint layout stays head-per-module."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
 
 
 class StereoUNet(nn.Module):
@@ -113,6 +380,24 @@ class StereoUNet(nn.Module):
     out_channels: int = 1
     base_channels: int = 32
     compute_dtype: Any = jnp.float32
+    # Perf knobs, all measured on a v5e in round 3 (docs/PERF.md):
+    # bn_stats_dtype=bfloat16 runs the BN batch-stat reductions in bf16
+    # (no measurable win; kept for experiments). remat rematerialises each
+    # ConvBlock in backward (measured REGRESSION at this model size —
+    # 943 -> 747 pairs/s — it exists as a memory lever for much larger
+    # inputs, not a speed knob). An input-channel pad-to-8 knob was also
+    # built and measured (no effect, 940.6 vs 943-968 base noise) and
+    # removed.
+    bn_stats_dtype: Any = jnp.float32
+    remat: bool = False
+    # Hand-scheduled ConvBlock backward (_fused_conv_bn_relu): same math and
+    # checkpoint layout, minimal-operand backward convs. Measured on-TPU in
+    # round 3 (docs/PERF.md) before being defaulted.
+    fused_block: bool = False
+    # Decoder conv0 as two half-kernel convs (no skip-concat materialised;
+    # kills the 10.4 ms/step 'split' backward pass — docs/PERF.md). Same
+    # params; channel-sum reassociation only.
+    split_skip_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -128,9 +413,13 @@ class StereoUNet(nn.Module):
         dt = self.compute_dtype
 
         def pool(v: jnp.ndarray) -> jnp.ndarray:
-            return nn.max_pool(v, window_shape=(2, 2), strides=(2, 2))
+            return max_pool_2x2(v)
 
         def up(v: jnp.ndarray, features: int, name: str) -> jnp.ndarray:
+            # nn.ConvTranspose, deliberately: an exact matmul+depth-to-space
+            # rewrite was measured in round 3 and LOST (~2.8 ms/step — the
+            # bias add and the (h,a)(w,b)->spatial relayout don't fuse, while
+            # XLA's transposed-conv forward is a single fused op; docs/PERF.md).
             return nn.ConvTranspose(
                 features,
                 kernel_size=(2, 2),
@@ -142,40 +431,69 @@ class StereoUNet(nn.Module):
             )(v)
 
         x = x.astype(dt)
-        s1 = ConvBlock(c1, dt, name="enc1")(x, train)
-        s2 = ConvBlock(c2, dt, name="enc2")(pool(s1), train)
-        s3 = ConvBlock(c3, dt, name="enc3")(pool(s2), train)
-        s4 = ConvBlock(c4, dt, name="enc4")(pool(s3), train)
-        b = ConvBlock(c5, dt, name="bottleneck")(pool(s4), train)
 
-        d4 = ConvBlock(c4, dt, name="dec4")(
-            jnp.concatenate([up(b, c4, "up4"), s4], axis=-1), train
-        )
-        d3 = ConvBlock(c3, dt, name="dec3")(
-            jnp.concatenate([up(d4, c3, "up3"), s3], axis=-1), train
-        )
-        d2 = ConvBlock(c2, dt, name="dec2")(
-            jnp.concatenate([up(d3, c2, "up2"), s2], axis=-1), train
-        )
-        d1 = ConvBlock(c1, dt, name="dec1")(
-            jnp.concatenate([up(d2, c1, "up1"), s1], axis=-1), train
-        )
+        block_cls = ConvBlock
+        if self.remat:
+            block_cls = nn.remat(ConvBlock, static_argnums=(2,))
 
-        disparity = nn.Conv(
-            self.out_channels, (1, 1), dtype=dt, param_dtype=jnp.float32,
-            name="disparity_head",
-        )(d1)
+        def block(features: int, name: str):
+            return block_cls(
+                features,
+                dt,
+                bn_stats_dtype=self.bn_stats_dtype,
+                fused=self.fused_block,
+                name=name,
+            )
+
+        s1 = block(c1, "enc1")(x, train)
+        s2 = block(c2, "enc2")(pool(s1), train)
+        s3 = block(c3, "enc3")(pool(s2), train)
+        s4 = block(c4, "enc4")(pool(s3), train)
+        b = block(c5, "bottleneck")(pool(s4), train)
+
+        if self.split_skip_conv:
+            d4 = block(c4, "dec4")(up(b, c4, "up4"), train, skip=s4)
+            d3 = block(c3, "dec3")(up(d4, c3, "up3"), train, skip=s3)
+            d2 = block(c2, "dec2")(up(d3, c2, "up2"), train, skip=s2)
+            d1 = block(c1, "dec1")(up(d2, c1, "up1"), train, skip=s1)
+        else:
+            d4 = block(c4, "dec4")(
+                jnp.concatenate([up(b, c4, "up4"), s4], axis=-1), train
+            )
+            d3 = block(c3, "dec3")(
+                jnp.concatenate([up(d4, c3, "up3"), s3], axis=-1), train
+            )
+            d2 = block(c2, "dec2")(
+                jnp.concatenate([up(d3, c2, "up2"), s2], axis=-1), train
+            )
+            d1 = block(c1, "dec1")(
+                jnp.concatenate([up(d2, c1, "up1"), s1], axis=-1), train
+            )
+
+        # Both 1x1 heads always exist (reference model.py defines both
+        # unconditionally) and are applied as ONE fused conv so the shared
+        # full-resolution d1 tensor is read once, not twice.
+        kd, bd = Conv1x1Params(self.out_channels, c1, name="disparity_head")()
+        kl, bl = Conv1x1Params(1, c1, name="logvar_head")()
+        n_disp = self.out_channels
+        if return_uncertainty:
+            k = jnp.concatenate([kd, kl], axis=-1)
+            bias = jnp.concatenate([bd, bl])
+        else:
+            k, bias = kd, bd
+        heads = (
+            jnp.einsum("nhwc,cf->nhwf", d1.astype(dt), k[0, 0].astype(dt))
+            + bias.astype(dt)
+        )
         # Disparity is non-negative (reference model.py:97-98). Compute the
         # head nonlinearity in f32 for numerical parity.
-        disparity = jax.nn.softplus(disparity.astype(jnp.float32))
+        disparity = jax.nn.softplus(heads[..., :n_disp].astype(jnp.float32))
         if not return_uncertainty:
             return disparity
-
-        logvar = nn.Conv(
-            1, (1, 1), dtype=dt, param_dtype=jnp.float32, name="logvar_head"
-        )(d1)
         # Bound log-variance to a stable range (reference model.py:102-103).
-        logvar = jnp.clip(logvar.astype(jnp.float32), -6.0, 3.0)
+        logvar = jnp.clip(
+            heads[..., n_disp : n_disp + 1].astype(jnp.float32), -6.0, 3.0
+        )
         return disparity, logvar
 
 

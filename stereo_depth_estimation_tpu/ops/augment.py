@@ -267,13 +267,10 @@ def sample_factors(
     }
 
 
-def augment_with_factors(
-    key: jax.Array,
-    images: jnp.ndarray,
-    factors: dict[str, jnp.ndarray],
-    config: AugmentConfig,
+def _chain_pre_noise(
+    images: jnp.ndarray, factors: dict[str, jnp.ndarray], config: AugmentConfig
 ) -> jnp.ndarray:
-    """Apply the augmentation chain with given factors. images: (N,H,W,3)."""
+    """Pointwise stages + probabilistic blur, WITHOUT noise/clamp. (N,H,W,3)."""
     img = images.astype(jnp.float32)
     img = adjust_brightness(img, factors["brightness"])
     img = adjust_contrast(img, factors["contrast"])
@@ -283,9 +280,49 @@ def augment_with_factors(
     if config.blur_prob > 0.0 and config.blur_sigma_max > 0.0:
         blurred = gaussian_blur(img, factors["blur_sigma"], config.blur_kernel_size)
         img = jnp.where(_bcast(factors["blur_on"].astype(jnp.float32)) > 0, blurred, img)
+    return img
+
+
+def augment_with_factors(
+    key: jax.Array,
+    images: jnp.ndarray,
+    factors: dict[str, jnp.ndarray],
+    config: AugmentConfig,
+) -> jnp.ndarray:
+    """Apply the augmentation chain with given factors. images: (N,H,W,3)."""
+    img = _chain_pre_noise(images, factors, config)
     if config.noise_std_max > 0.0:
         noise = jax.random.normal(key, img.shape, img.dtype)
         img = img + noise * _bcast(factors["noise_std"])
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def noise_and_clip_stereo(
+    key: jax.Array,
+    stereo: jnp.ndarray,
+    noise_std_left: jnp.ndarray,
+    noise_std_right: jnp.ndarray,
+    enabled: bool,
+) -> jnp.ndarray:
+    """Joint additive-noise + clamp epilogue over the (N,H,W,6) stereo tensor.
+
+    One (N,H,W,6) normal draw with the per-view std broadcast per channel is
+    distributionally identical to two independent (N,H,W,3) per-view draws
+    (the reference augments views independently), but runs as ONE fused
+    elementwise pass: the round-3 profile showed the per-view split/concat
+    epilogue costing ~3 ms/step in bad layouts (docs/PERF.md). Float32 math,
+    clamp to [0,1]; caller casts to its compute dtype."""
+    img = stereo.astype(jnp.float32)
+    if enabled:
+        std6 = jnp.concatenate(
+            [
+                jnp.repeat(noise_std_left[:, None], 3, axis=1),
+                jnp.repeat(noise_std_right[:, None], 3, axis=1),
+            ],
+            axis=1,
+        )
+        noise = jax.random.normal(key, img.shape, jnp.float32)
+        img = img + noise * std6[:, None, None, :]
     return jnp.clip(img, 0.0, 1.0)
 
 
@@ -308,12 +345,21 @@ def augment_stereo_batch(
     by restacking views along the batch axis: channel slices fuse straight
     into the elementwise chain, while a (N,H,W,6)->(2N,H,W,3) batch-axis
     regroup materialises two full relayout copies each way (measured: the
-    whole chain dropped 66 -> 13 ms at batch 128, 240x320, on one v5e)."""
+    whole chain dropped 66 -> 13 ms at batch 128, 240x320, on one v5e).
+    Noise + clamp run jointly on the recombined 6-channel tensor
+    (``noise_and_clip_stereo``); the 3-way key split is kept so the factor
+    stream is unchanged from the per-view-noise formulation."""
     n = stereo.shape[0]
-    k_factors, k_noise_l, k_noise_r = jax.random.split(key, 3)
+    k_factors, k_noise, _k_unused = jax.random.split(key, 3)
     factors = sample_factors(k_factors, 2 * n, config)
     f_left = {name: v[:n] for name, v in factors.items()}
     f_right = {name: v[n:] for name, v in factors.items()}
-    left = augment_with_factors(k_noise_l, stereo[..., :3], f_left, config)
-    right = augment_with_factors(k_noise_r, stereo[..., 3:], f_right, config)
-    return jnp.concatenate([left, right], axis=-1)
+    left = _chain_pre_noise(stereo[..., :3], f_left, config)
+    right = _chain_pre_noise(stereo[..., 3:], f_right, config)
+    return noise_and_clip_stereo(
+        k_noise,
+        jnp.concatenate([left, right], axis=-1),
+        f_left["noise_std"],
+        f_right["noise_std"],
+        config.noise_std_max > 0.0,
+    )

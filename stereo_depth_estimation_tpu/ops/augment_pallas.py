@@ -27,7 +27,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .augment import _GRAY_WEIGHTS, AugmentConfig, gaussian_blur, sample_factors
+from .augment import (
+    _GRAY_WEIGHTS,
+    AugmentConfig,
+    gaussian_blur,
+    noise_and_clip_stereo,
+    sample_factors,
+)
 
 # factors packed per view: brightness, contrast, saturation, hue, gamma,
 # gray-mean (of the brightness-adjusted view, for the contrast blend),
@@ -148,6 +154,8 @@ def _augment_kernel(f_ref, x_ref, o_ref, *, blur_k: int = 0):
             return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
 
         # gamma (gain 1), optional in-kernel blur, then store each plane
+        # (cast to the output ref's dtype — bf16 stores halve the kernel's
+        # HBM write traffic; all math above stays float32 in VMEM)
         blur_on = f_ref[image_index, base + 6]
         blur_sigma = f_ref[image_index, base + 7]
         for idx, ch in ((0, channel(5.0)), (1, channel(3.0)), (2, channel(1.0))):
@@ -155,7 +163,7 @@ def _augment_kernel(f_ref, x_ref, o_ref, *, blur_k: int = 0):
             if blur_k > 0:
                 blurred = _blur_plane(plane, blur_sigma, blur_k)
                 plane = jnp.where(blur_on > 0.0, blurred, plane)
-            o_ref[0, view * 3 + idx] = plane
+            o_ref[0, view * 3 + idx] = plane.astype(o_ref.dtype)
 
 
 def _h_block(h: int, preferred: int = 48) -> int:
@@ -165,12 +173,12 @@ def _h_block(h: int, preferred: int = 48) -> int:
     return h
 
 
-@functools.partial(jax.jit, static_argnames=("blur_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("blur_k", "interpret", "out_dtype"))
 def _pointwise_chain(
     images_u8: jnp.ndarray, factors_packed: jnp.ndarray, *,
-    blur_k: int = 0, interpret: bool = False
+    blur_k: int = 0, interpret: bool = False, out_dtype=jnp.float32
 ) -> jnp.ndarray:
-    """(N, H, W, 6) uint8 + (N, 16) factors -> (N, H, W, 6) float32."""
+    """(N, H, W, 6) uint8 + (N, 16) factors -> (N, H, W, 6) ``out_dtype``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -196,7 +204,7 @@ def _pointwise_chain(
             (1, 6, bh, w), lambda ni, hi: (ni, 0, hi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, 6, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 6, h, w), out_dtype),
         interpret=interpret,
     )(factors_packed, planar)
     return jnp.transpose(out, (0, 2, 3, 1))
@@ -240,41 +248,58 @@ def augment_stereo_batch_pallas(
     config: AugmentConfig,
     *,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Pallas-accelerated equivalent of ``augment.augment_stereo_batch``.
 
     Takes the (N, H, W, 6) batch as uint8 (the packed-cache representation)
-    and returns float32 in [0, 1]. Factor sampling, stage order and math
-    match the XLA path; blur and noise run in XLA after the kernel.
+    and returns ``out_dtype`` in [0, 1]. Factor sampling, stage order and
+    math match the XLA path; blur and noise run in XLA after the kernel.
+
+    ``out_dtype=bfloat16`` (the train step's choice under bfloat16 compute)
+    halves the chain's HBM write traffic; it only moves the network's own
+    input cast one op earlier — the pointwise math and the noise still run
+    in float32, with one extra bf16 rounding before the noise add (bounded
+    by tests/test_augment_pallas.py against the f32 chain).
     """
     n, h, w, _ = stereo_u8.shape
-    k_factors, k_noise_l, k_noise_r = jax.random.split(key, 3)
+    k_factors, k_noise, _k_unused = jax.random.split(key, 3)
     factors = sample_factors(k_factors, 2 * n, config)
     packed = _pack_factors(stereo_u8, factors, n)
 
     blur_enabled = config.blur_prob > 0.0 and config.blur_sigma_max > 0.0
     # In-kernel blur needs the whole image in VMEM (no halo); fall back to
-    # the XLA blur for larger images.
+    # the XLA blur for larger images (which runs f32 for exactness).
     blur_in_kernel = blur_enabled and h * w <= _FULL_IMAGE_MAX_PIXELS
     out = _pointwise_chain(
         stereo_u8, packed,
         blur_k=config.blur_kernel_size if blur_in_kernel else 0,
         interpret=interpret,
+        out_dtype=out_dtype if blur_in_kernel or not blur_enabled else jnp.float32,
     )
 
-    views = []
-    for view, sl, k_noise in ((0, slice(0, 3), k_noise_l), (1, slice(3, 6), k_noise_r)):
-        fv = {k: v[view * n : (view + 1) * n] for k, v in factors.items()}
-        img = out[..., sl]
-        if blur_enabled and not blur_in_kernel:
+    if blur_enabled and not blur_in_kernel:
+        # Large-image fallback: XLA separable blur per view (f32 exact).
+        views = []
+        for view, sl in ((0, slice(0, 3)), (1, slice(3, 6))):
+            fv = {k: v[view * n : (view + 1) * n] for k, v in factors.items()}
+            img = out[..., sl].astype(jnp.float32)
             blurred = gaussian_blur(img, fv["blur_sigma"], config.blur_kernel_size)
-            img = jnp.where(
-                fv["blur_on"].astype(jnp.float32)[:, None, None, None] > 0,
-                blurred,
-                img,
+            views.append(
+                jnp.where(
+                    fv["blur_on"].astype(jnp.float32)[:, None, None, None] > 0,
+                    blurred,
+                    img,
+                )
             )
-        if config.noise_std_max > 0.0:
-            noise = jax.random.normal(k_noise, img.shape, img.dtype)
-            img = img + noise * fv["noise_std"][:, None, None, None]
-        views.append(jnp.clip(img, 0.0, 1.0))
-    return jnp.concatenate(views, axis=-1)
+        out = jnp.concatenate(views, axis=-1)
+    # Joint 6-channel noise + clamp: one fused pass, no per-view
+    # split/concat (the split epilogue measured ~3 ms/step in bad layouts;
+    # docs/PERF.md). Same key discipline as the XLA chain.
+    return noise_and_clip_stereo(
+        k_noise,
+        out,
+        factors["noise_std"][:n],
+        factors["noise_std"][n:],
+        config.noise_std_max > 0.0,
+    ).astype(out_dtype)

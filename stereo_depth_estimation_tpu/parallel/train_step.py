@@ -129,9 +129,14 @@ def _make_step_body(
             # docs/PERF.md); values match the XLA chain to float rounding.
             from ..ops.augment_pallas import augment_stereo_batch_pallas
 
+            # Emitting the model's compute dtype straight from the kernel
+            # halves the augment chain's HBM writes under bf16 — the cast
+            # the model would apply anyway just happens one op earlier
+            # (docs/PERF.md round-3 profile: the step is HBM-bound).
             inputs = augment_stereo_batch_pallas(
                 rng, raw, augment_config,
                 interpret=jax.default_backend() != "tpu",
+                out_dtype=getattr(model, "compute_dtype", jnp.float32),
             )
         else:
             inputs = augment_stereo_batch(
@@ -196,12 +201,16 @@ def make_train_step(
     model: StereoUNet,
     tx: optax.GradientTransformation,
     augment_config: AugmentConfig | None = None,
+    extra_compiler_options: dict[str, str] | None = None,
 ) -> Callable[[TrainState, dict[str, jnp.ndarray]], tuple[TrainState, LossStats]]:
     """Streaming train step: batch {input (N,H,W,6) u8/f32, target (N,H,W)}."""
+    options = _step_compiler_options()
+    if extra_compiler_options:
+        options = {**(options or {}), **extra_compiler_options}
     return jax.jit(
         _make_step_body(model, tx, augment_config),
         donate_argnums=(0,),
-        compiler_options=_step_compiler_options(),
+        compiler_options=options,
     )
 
 
@@ -276,6 +285,9 @@ def make_device_data_train_step(
     targets: jnp.ndarray,
     batch_size: int,
     augment_config: AugmentConfig | None = None,
+    extra_compiler_options: dict[str, str] | None = None,
+    step_fn: Callable[[TrainState, dict[str, jnp.ndarray]], tuple[TrainState, LossStats]]
+    | None = None,
 ) -> Callable[[TrainState], tuple[TrainState, LossStats]]:
     """ONE train step over a DEVICE-RESIDENT dataset per dispatch.
 
@@ -285,9 +297,10 @@ def make_device_data_train_step(
     is deliberate and measured: the fully-fused gather+augment+train program
     (and the scanned K-step variant) takes the TPU toolchain on this
     platform >12 minutes to compile, while the split compiles in ~17 s total
-    and the two dispatches pipeline back-to-back with no device idle
-    (115k pairs/s at batch 128, 240x320, on one v5e chip). The intermediate
-    batch stays in HBM; nothing crosses the host boundary per step.
+    and the two dispatches pipeline back-to-back with no device idle — the
+    gather adds ~1 ms to a >100 ms step (docs/PERF.md decomposition). The
+    intermediate batch stays in HBM; nothing crosses the host boundary per
+    step.
     """
     n = images_u8.shape[0]
     steps_per_epoch = n // batch_size
@@ -309,7 +322,10 @@ def make_device_data_train_step(
             "target": jnp.take(tgts, idx, axis=0),
         }
 
-    step = make_train_step(model, tx, augment_config)
+    # A caller-supplied step (same batch avals) lets e.g. bench.py share ONE
+    # compiled program between this device-resident path and the streamed
+    # path instead of compiling twice.
+    step = step_fn or make_train_step(model, tx, augment_config, extra_compiler_options)
 
     def run(state: TrainState) -> tuple[TrainState, LossStats]:
         batch = gather(state.rng, state.step, images_u8, targets)

@@ -51,6 +51,26 @@ def test_pallas_matches_xla_chain_pointwise_only() -> None:
     assert out.min() >= 0.0 and out.max() <= 1.0
 
 
+def test_bf16_output_matches_f32_chain_to_bf16_rounding() -> None:
+    """out_dtype=bfloat16 (the bf16 train step's request) only moves the
+    network's input cast earlier: values must match the f32 chain within
+    bf16 resolution (one extra rounding before the noise add)."""
+    cfg = AugmentConfig(blur_prob=0.5)
+    x = _u8_batch(seed=3)
+    key = jax.random.key(11)
+    ref = np.asarray(
+        augment_stereo_batch_pallas(key, jnp.asarray(x), cfg, interpret=True)
+    )
+    out = np.asarray(
+        augment_stereo_batch_pallas(
+            key, jnp.asarray(x), cfg, interpret=True, out_dtype=jnp.bfloat16
+        ).astype(jnp.float32)
+    )
+    assert out.dtype == np.float32  # upcast view of a bf16 result
+    # bf16 has ~3 decimal digits in [0,1]; two roundings bound the error.
+    np.testing.assert_allclose(out, ref, atol=2 / 256)
+
+
 def test_train_step_uses_pallas_when_forced() -> None:
     import optax
 

@@ -201,3 +201,195 @@ def test_export_round_trips(models_and_input) -> None:
         np.testing.assert_allclose(
             exported[key], value.numpy(), atol=1e-6, err_msg=key
         )
+
+
+def test_max_pool_2x2_matches_reduce_window() -> None:
+    """Pin max_pool_2x2 to reduce_window semantics: any future
+    implementation swap (a strided-slice rewrite was tried and reverted in
+    round 3, docs/PERF.md) must stay value-identical to nn.max_pool."""
+    import flax.linen as fnn
+
+    from stereo_depth_estimation_tpu.models.unet import max_pool_2x2
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(3, 16, 24, 5)).astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_2x2(x)),
+        np.asarray(fnn.max_pool(x, window_shape=(2, 2), strides=(2, 2))),
+    )
+
+
+class TestFusedBlock:
+    """fused_block=True must be a pure execution-strategy change: identical
+    param/batch_stats trees, bit-identical training forward, and gradients
+    equal to autodiff of the unfused path up to float reassociation."""
+
+    def _models(self):
+        return StereoUNet(base_channels=4), StereoUNet(
+            base_channels=4, fused_block=True
+        )
+
+    def _input(self):
+        return jnp.asarray(
+            np.random.default_rng(3)
+            .uniform(0, 1, (2, 32, 48, 6))
+            .astype(np.float32)
+        )
+
+    def test_init_trees_identical(self) -> None:
+        m0, m1 = self._models()
+        x = self._input()
+        v0 = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        v1 = m1.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            v0,
+            v1,
+        )
+
+    def test_train_forward_and_stats_match(self) -> None:
+        m0, m1 = self._models()
+        x = self._input()
+        v = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        (d0, l0), u0 = m0.apply(
+            v, x, train=True, return_uncertainty=True, mutable=["batch_stats"]
+        )
+        (d1, l1), u1 = m1.apply(
+            v, x, train=True, return_uncertainty=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            u0,
+            u1,
+        )
+
+    def test_eval_forward_matches(self) -> None:
+        m0, m1 = self._models()
+        x = self._input()
+        v = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        np.testing.assert_allclose(
+            np.asarray(m0.apply(v, x, train=False)),
+            np.asarray(m1.apply(v, x, train=False)),
+            atol=1e-6,
+        )
+
+    def test_gradients_match_autodiff(self) -> None:
+        m0, m1 = self._models()
+        x = self._input()
+        v = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        tgt = jnp.asarray(
+            np.random.default_rng(4)
+            .uniform(0, 10, (2, 32, 48, 1))
+            .astype(np.float32)
+        )
+
+        def make_loss(m):
+            def f(p):
+                (d, lv), _ = m.apply(
+                    {**v, "params": p},
+                    x,
+                    train=True,
+                    return_uncertainty=True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean(jnp.abs(d - tgt) * jnp.exp(-lv) + lv)
+
+            return f
+
+        g0 = jax.grad(make_loss(m0))(v["params"])
+        g1 = jax.grad(make_loss(m1))(v["params"])
+
+        def check(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.max(np.abs(a)) + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-5)
+
+        jax.tree.map(check, g0, g1)
+
+
+class TestSplitSkipConv:
+    """split_skip_conv=True removes the decoder's skip-concat
+    materialisation; parameters and semantics are unchanged (the one conv0
+    kernel is sliced on read), differing only by channel-sum reassociation."""
+
+    def _models(self):
+        return StereoUNet(base_channels=4), StereoUNet(
+            base_channels=4, split_skip_conv=True
+        )
+
+    def _input(self):
+        return jnp.asarray(
+            np.random.default_rng(5)
+            .uniform(0, 1, (2, 32, 48, 6))
+            .astype(np.float32)
+        )
+
+    def test_init_trees_identical(self) -> None:
+        m0, m1 = self._models()
+        x = self._input()
+        v0 = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        v1 = m1.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            v0,
+            v1,
+        )
+
+    def test_train_forward_and_stats_match(self) -> None:
+        m0, m1 = self._models()
+        x = self._input()
+        v = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        (d0, l0), u0 = m0.apply(
+            v, x, train=True, return_uncertainty=True, mutable=["batch_stats"]
+        )
+        (d1, l1), u1 = m1.apply(
+            v, x, train=True, return_uncertainty=True, mutable=["batch_stats"]
+        )
+        # reassociated channel sum: slightly looser than bit-equality
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4
+            ),
+            u0,
+            u1,
+        )
+
+    def test_gradients_match_autodiff(self) -> None:
+        m0, m1 = self._models()
+        x = self._input()
+        v = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
+        tgt = jnp.asarray(
+            np.random.default_rng(6)
+            .uniform(0, 10, (2, 32, 48, 1))
+            .astype(np.float32)
+        )
+
+        def make_loss(m):
+            def f(p):
+                (d, lv), _ = m.apply(
+                    {**v, "params": p},
+                    x,
+                    train=True,
+                    return_uncertainty=True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean(jnp.abs(d - tgt) * jnp.exp(-lv) + lv)
+
+            return f
+
+        g0 = jax.grad(make_loss(m0))(v["params"])
+        g1 = jax.grad(make_loss(m1))(v["params"])
+
+        def check(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.max(np.abs(a)) + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=5e-5)
+
+        jax.tree.map(check, g0, g1)

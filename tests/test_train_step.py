@@ -251,6 +251,60 @@ def test_indivisible_batch_pads_and_masks_on_mesh() -> None:
     assert np.isfinite(float(tstats.nll_sum))
 
 
+def test_device_data_loop_matches_two_dispatch_variant() -> None:
+    """The scanned K-step device-resident loop and the two-dispatch variant
+    share the permutation/fold_in scheme, so K steps of each from the same
+    state must produce the same parameters and per-step stats (up to jit
+    fusion-boundary rounding)."""
+    from stereo_depth_estimation_tpu.parallel.train_step import (
+        make_device_data_train_loop,
+        make_device_data_train_step,
+    )
+
+    import optax
+
+    rng = np.random.default_rng(8)
+    n, batch_size, k = 12, 4, 6  # 3 steps/epoch -> the scan crosses an epoch
+    b = _synthetic_batch(rng, n)
+    images = jnp.asarray((b["input"] * 255).astype(np.uint8))
+    targets = jnp.asarray(b["target"].astype(np.float16))
+
+    model = StereoUNet(base_channels=4)
+    # SGD, not AdamW, for the same reason as the data-parallel test above:
+    # the scanned and two-dispatch programs fuse differently, and AdamW
+    # turns ~1e-7 reduction noise into +-lr param flips. SGD keeps the
+    # comparison linear in the gradient.
+    tx = optax.sgd(1e-2)
+    aug = AugmentConfig()
+
+    state_a = create_train_state(model, jax.random.key(9), HW, tx)
+    loop = make_device_data_train_loop(
+        model, tx, images, targets, batch_size, aug, steps_per_call=k
+    )
+    state_a, stats_seq = loop(state_a)
+    assert stats_seq.nll_sum.shape == (k,)
+
+    state_b = create_train_state(model, jax.random.key(9), HW, tx)
+    step = make_device_data_train_step(
+        model, tx, images, targets, batch_size, aug
+    )
+    per_step_nll = []
+    for _ in range(k):
+        state_b, stats = step(state_b)
+        per_step_nll.append(float(stats.nll_sum))
+
+    np.testing.assert_allclose(
+        np.asarray(stats_seq.nll_sum), per_step_nll, rtol=1e-5
+    )
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5
+        ),
+        state_a.params,
+        state_b.params,
+    )
+
+
 def test_loader_fetch_thread_pool_matches_serial() -> None:
     from stereo_depth_estimation_tpu.data.pipeline import loader_fetch
 
