@@ -6,7 +6,12 @@ top ops by self time with their FLOP rates — the ground truth for deciding
 where the MXU-utilization gap lives.
 
 Usage: python scripts/profile_ops.py [--batch N] [--variant V] [--top K]
+                                     [--json PATH]
 (variants as in perf_lab.py)
+
+``--json docs/step_profile_tpu.json`` additionally writes the bound-by
+split and per-layer table as a committed artifact, so the decomposition
+claims in docs/PERF.md stay durable and refreshable.
 """
 
 from __future__ import annotations
@@ -39,6 +44,7 @@ def main() -> None:
     batch_size = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128
     top_k = int(argv[argv.index("--top") + 1]) if "--top" in argv else 40
     variant = argv[argv.index("--variant") + 1] if "--variant" in argv else "base"
+    json_path = argv[argv.index("--json") + 1] if "--json" in argv else None
     trace_dir = "/tmp/profile_ops_trace"
 
     hw = (240, 320)
@@ -134,6 +140,33 @@ def main() -> None:
             f"{r['bound_by']:<8} {r['category']:<20} "
             f"{r['name'][:28]:<28} {_layer_key(r['fw_name'])}"
         )
+
+    if json_path:
+        artifact = {
+            "variant": variant,
+            "batch_size": batch_size,
+            "device": str(jax.devices()[0]),
+            "jax_version": jax.__version__,
+            "total_ms_per_step": round(total_us / 5e3, 2),
+            "bound_by_ms_per_step": {
+                k: round(v / 5e3, 2)
+                for k, v in sorted(by_bound.items(), key=lambda kv: -kv[1])
+            },
+            "layers": [
+                {
+                    "layer": k,
+                    "ms_per_step": round(t / 5e3, 2),
+                    "share_pct": round(100 * t / total_us, 1),
+                    "avg_tflops": round(gw / t / 1e3, 1) if t else 0.0,
+                }
+                for k, (t, gw) in sorted(
+                    by_layer.items(), key=lambda kv: -kv[1][0]
+                )
+            ],
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {json_path}")
 
 
 def _layer_key(fw_name: str) -> str:

@@ -108,7 +108,7 @@ class _FusedBNConfig(NamedTuple):
     stats_dtype: Any
 
 
-def _conv3x3(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def _conv_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.conv_general_dilated(
         x,
         kernel,
@@ -128,7 +128,7 @@ def _fcbr_fwd_math(
     """Conv3x3 -> batch-stat BN -> ReLU, numerically identical to the
     nn.Conv + BatchNorm(+relu) composition above (same cast points)."""
     cd = cfg.compute_dtype
-    z = _conv3x3(x.astype(cd), kernel.astype(cd))
+    z = _conv_same(x.astype(cd), kernel.astype(cd))
     zf = z.astype(cfg.stats_dtype)
     mean = jnp.mean(zf, axis=(0, 1, 2)).astype(jnp.float32)
     mean_sq = jnp.mean(jnp.square(zf), axis=(0, 1, 2)).astype(jnp.float32)
@@ -203,7 +203,7 @@ def _fcbr_bwd(cfg, res, cts):
     # data-gradient and filter-gradient convolutions with dz as their only
     # large operand (the f32 cast transpose returns dkernel in f32).
     _, conv_vjp = jax.vjp(
-        lambda xx, kk: _conv3x3(xx.astype(cd), kk.astype(cd)), x, kernel
+        lambda xx, kk: _conv_same(xx.astype(cd), kk.astype(cd)), x, kernel
     )
     dx, dkernel = conv_vjp(dz)
     return dx, dkernel, dgamma, dbeta
@@ -301,7 +301,7 @@ class ConvBlock(nn.Module):
             kernel = ConvKernelParams(
                 (3, 3, xc + sc, self.features), name="conv0"
             )()
-            z = _conv3x3(x.astype(cd), kernel[:, :, :xc].astype(cd)) + _conv3x3(
+            z = _conv_same(x.astype(cd), kernel[:, :, :xc].astype(cd)) + _conv_same(
                 skip.astype(cd), kernel[:, :, xc:].astype(cd)
             )
             z = BatchNorm(
@@ -340,7 +340,7 @@ class ConvBlock(nn.Module):
                 bn.update(mean, var, x.shape[0] * x.shape[1] * x.shape[2])
                 x = y
             else:
-                z = _conv3x3(x.astype(cd), kernel.astype(cd))
+                z = _conv_same(x.astype(cd), kernel.astype(cd))
                 inv = jax.lax.rsqrt(bn.ra_var.value + cfg.eps) * bn.scale
                 x = jnp.maximum(
                     (z - bn.ra_mean.value.astype(cd)) * inv.astype(cd)
@@ -472,7 +472,11 @@ class StereoUNet(nn.Module):
 
         # Both 1x1 heads always exist (reference model.py defines both
         # unconditionally) and are applied as ONE fused conv so the shared
-        # full-resolution d1 tensor is read once, not twice.
+        # full-resolution d1 tensor is read once, not twice. Expressed as a
+        # 1x1 conv (not an einsum/dot): the (9.8M, 32) x (32, 2) matmul is
+        # degenerate for XLA's dot tiling search and measured ~15 min
+        # compiles under the 64 MiB scoped-VMEM budget; the conv emitter
+        # handles the same contraction without the pathology (docs/PERF.md).
         kd, bd = Conv1x1Params(self.out_channels, c1, name="disparity_head")()
         kl, bl = Conv1x1Params(1, c1, name="logvar_head")()
         n_disp = self.out_channels
@@ -482,8 +486,7 @@ class StereoUNet(nn.Module):
         else:
             k, bias = kd, bd
         heads = (
-            jnp.einsum("nhwc,cf->nhwf", d1.astype(dt), k[0, 0].astype(dt))
-            + bias.astype(dt)
+            _conv_same(d1.astype(dt), k.astype(dt)) + bias.astype(dt)
         )
         # Disparity is non-negative (reference model.py:97-98). Compute the
         # head nonlinearity in f32 for numerical parity.
