@@ -71,7 +71,9 @@ def main() -> None:
     elif variant == "fused":
         model_kwargs["fused_block"] = True
     elif variant == "split":
-        model_kwargs["split_skip_conv"] = True
+        model_kwargs["skip_impl"] = "split"
+    elif variant == "hybridskip":
+        model_kwargs["skip_impl"] = "hybrid"
     elif variant.startswith("flags:"):
         extra_options = dict(
             kv.split("=", 1) for kv in variant[len("flags:"):].split(",")

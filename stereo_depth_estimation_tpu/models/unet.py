@@ -212,6 +212,49 @@ def _fcbr_bwd(cfg, res, cts):
 _fused_conv_bn_relu.defvjp(_fcbr_fwd, _fcbr_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _concat_conv(
+    xc: int, up: jnp.ndarray, skip: jnp.ndarray, kernel: jnp.ndarray
+) -> jnp.ndarray:
+    """conv(concat([up, skip]), kernel), backward WITHOUT the concat split.
+
+    Forward is exactly the concatenate-then-conv XLA fuses best. The
+    custom backward produces the two input cotangents directly with
+    half-kernel data-gradient convolutions (and the kernel gradient as two
+    half filter-gradients concatenated on the input-channel axis) — the
+    mathematically identical slices of the full-kernel gradients — so the
+    (N,H,W,2C) cotangent is never materialised and then sliced into two
+    copies (the 'bwd:split' loop fusions worth 10.4 ms/step in the round-3
+    profile, docs/PERF.md). ``kernel`` stays float32; convs run in the
+    activations' dtype like nn.Conv(dtype=...).
+    """
+    cd = up.dtype
+    return _conv_same(
+        jnp.concatenate([up, skip], axis=-1), kernel.astype(cd)
+    )
+
+
+def _concat_conv_fwd(xc, up, skip, kernel):
+    return _concat_conv(xc, up, skip, kernel), (up, skip, kernel)
+
+
+def _concat_conv_bwd(xc, res, dz):
+    up, skip, kernel = res
+    cd = up.dtype
+
+    def half(v, kk):
+        return _conv_same(v, kk.astype(cd))
+
+    _, vjp_u = jax.vjp(half, up, kernel[:, :, :xc])
+    d_up, dk_up = vjp_u(dz)
+    _, vjp_s = jax.vjp(half, skip, kernel[:, :, xc:])
+    d_skip, dk_skip = vjp_s(dz)
+    return d_up, d_skip, jnp.concatenate([dk_up, dk_skip], axis=2)
+
+
+_concat_conv.defvjp(_concat_conv_fwd, _concat_conv_bwd)
+
+
 class ConvKernelParams(nn.Module):
     """Parameter holder for a bias-free conv: declares the exact ``kernel``
     param ``nn.Conv`` would (same name, shape, initializer, and therefore
@@ -263,10 +306,9 @@ class BNVars(nn.Module):
 class ConvBlock(nn.Module):
     """(Conv3x3 no-bias -> BatchNorm -> ReLU) x2, NHWC.
 
-    Decoder blocks can run conv0 as two half-kernel convolutions over the
-    up-path and skip tensors (``skip=`` argument / StereoUNet.split_skip_conv)
-    instead of one conv over their concat — measured trade-offs in
-    docs/PERF.md."""
+    Decoder blocks can take the up-path and skip tensors separately
+    (``skip=`` argument / StereoUNet.skip_impl) instead of one conv over
+    their concat — measured trade-offs in docs/PERF.md."""
 
     features: int
     compute_dtype: Any = jnp.float32
@@ -275,24 +317,31 @@ class ConvBlock(nn.Module):
     # param/batch_stats tree; OFF here and selected per-model via
     # StereoUNet.fused_block.
     fused: bool = False
+    # How a skip-connected conv0 executes when ``skip`` is passed:
+    # "split" (two half convs, no concat) or "hybrid" (concat forward,
+    # split-free custom backward). Selected via StereoUNet.skip_impl.
+    skip_impl: str = "split"
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool, skip: jnp.ndarray | None = None
     ) -> jnp.ndarray:
         """When ``skip`` is given, the block computes
-        ConvBlock(concat([x, skip])) WITHOUT materialising the concat:
-        conv0 runs as two half-kernel convolutions summed. Same parameter
-        (one full-width conv0 kernel, sliced on read), same math up to
-        float reassociation of the channel sum. Motivation: the round-3
-        profile showed the concat's backward (a 'split' loop fusion
-        slicing the 1.26 GB cotangent into two copies) costing 10.4
-        ms/step across the decoder (docs/PERF.md); producing the two
-        halves directly by separate data-gradient convolutions removes
-        that pass entirely.
+        ConvBlock(concat([x, skip])) with conv0 executed per
+        ``skip_impl`` (the same single full-width conv0 parameter either
+        way — docs/PERF.md for the measured trade-offs):
+
+        - "split": two half-kernel convolutions summed, no concat at all
+          (measured: kills the concat-backward 'split' pass but regresses
+          the decoder conv fusions).
+        - "hybrid": forward keeps the concatenate (XLA's best-fusing
+          form); a custom VJP produces the two input cotangents DIRECTLY
+          via half-kernel data-gradient convolutions, so the 1.26 GB
+          cotangent is never materialised and sliced (the 10.4 ms/step
+          'bwd:split' pass in the round-3 profile).
         """
         if self.fused:
-            assert skip is None, "split-skip is implemented on the XLA-AD path"
+            assert skip is None, "skip modes are implemented on the XLA-AD path"
             return self._call_fused(x, train)
         start = 0
         if skip is not None:
@@ -301,9 +350,12 @@ class ConvBlock(nn.Module):
             kernel = ConvKernelParams(
                 (3, 3, xc + sc, self.features), name="conv0"
             )()
-            z = _conv_same(x.astype(cd), kernel[:, :, :xc].astype(cd)) + _conv_same(
-                skip.astype(cd), kernel[:, :, xc:].astype(cd)
-            )
+            if self.skip_impl == "hybrid":
+                z = _concat_conv(xc, x.astype(cd), skip.astype(cd), kernel)
+            else:
+                z = _conv_same(
+                    x.astype(cd), kernel[:, :, :xc].astype(cd)
+                ) + _conv_same(skip.astype(cd), kernel[:, :, xc:].astype(cd))
             z = BatchNorm(
                 compute_dtype=cd, stats_dtype=self.bn_stats_dtype, name="bn0"
             )(z, use_running_average=not train)
@@ -394,10 +446,14 @@ class StereoUNet(nn.Module):
     # checkpoint layout, minimal-operand backward convs. Measured on-TPU in
     # round 3 (docs/PERF.md) before being defaulted.
     fused_block: bool = False
-    # Decoder conv0 as two half-kernel convs (no skip-concat materialised;
-    # kills the 10.4 ms/step 'split' backward pass — docs/PERF.md). Same
-    # params; channel-sum reassociation only.
-    split_skip_conv: bool = False
+    # Decoder skip-conv execution strategy (same single conv0 parameter
+    # in every mode; measured trade-offs in docs/PERF.md):
+    #   "concat": materialise concat([up, skip]) and conv it (XLA AD).
+    #   "split":  two half-kernel convs, no concat anywhere (measured
+    #             regression: decoder conv fusions degrade).
+    #   "hybrid": concat forward + custom VJP backward that emits the two
+    #             input cotangents directly (no 'bwd:split' pass).
+    skip_impl: str = "concat"
 
     @nn.compact
     def __call__(
@@ -442,6 +498,7 @@ class StereoUNet(nn.Module):
                 dt,
                 bn_stats_dtype=self.bn_stats_dtype,
                 fused=self.fused_block,
+                skip_impl=self.skip_impl if self.skip_impl != "concat" else "split",
                 name=name,
             )
 
@@ -451,7 +508,7 @@ class StereoUNet(nn.Module):
         s4 = block(c4, "enc4")(pool(s3), train)
         b = block(c5, "bottleneck")(pool(s4), train)
 
-        if self.split_skip_conv:
+        if self.skip_impl != "concat":
             d4 = block(c4, "dec4")(up(b, c4, "up4"), train, skip=s4)
             d3 = block(c3, "dec3")(up(d4, c3, "up3"), train, skip=s3)
             d2 = block(c2, "dec2")(up(d3, c2, "up2"), train, skip=s2)

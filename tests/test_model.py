@@ -312,14 +312,17 @@ class TestFusedBlock:
         jax.tree.map(check, g0, g1)
 
 
-class TestSplitSkipConv:
-    """split_skip_conv=True removes the decoder's skip-concat
-    materialisation; parameters and semantics are unchanged (the one conv0
-    kernel is sliced on read), differing only by channel-sum reassociation."""
+@pytest.mark.parametrize("impl", ["split", "hybrid"])
+class TestSkipImpl:
+    """skip_impl="split" removes the decoder's skip-concat entirely;
+    "hybrid" keeps the concat forward but replaces the concat backward
+    with direct half-kernel cotangent convs (custom VJP). Both must keep
+    parameters and semantics unchanged (one conv0 kernel, sliced on
+    read), differing only by float reassociation."""
 
-    def _models(self):
+    def _models(self, impl):
         return StereoUNet(base_channels=4), StereoUNet(
-            base_channels=4, split_skip_conv=True
+            base_channels=4, skip_impl=impl
         )
 
     def _input(self):
@@ -329,8 +332,8 @@ class TestSplitSkipConv:
             .astype(np.float32)
         )
 
-    def test_init_trees_identical(self) -> None:
-        m0, m1 = self._models()
+    def test_init_trees_identical(self, impl) -> None:
+        m0, m1 = self._models(impl)
         x = self._input()
         v0 = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
         v1 = m1.init(jax.random.key(0), x, train=False, return_uncertainty=True)
@@ -340,8 +343,8 @@ class TestSplitSkipConv:
             v1,
         )
 
-    def test_train_forward_and_stats_match(self) -> None:
-        m0, m1 = self._models()
+    def test_train_forward_and_stats_match(self, impl) -> None:
+        m0, m1 = self._models(impl)
         x = self._input()
         v = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
         (d0, l0), u0 = m0.apply(
@@ -361,8 +364,8 @@ class TestSplitSkipConv:
             u1,
         )
 
-    def test_gradients_match_autodiff(self) -> None:
-        m0, m1 = self._models()
+    def test_gradients_match_autodiff(self, impl) -> None:
+        m0, m1 = self._models(impl)
         x = self._input()
         v = m0.init(jax.random.key(0), x, train=False, return_uncertainty=True)
         tgt = jnp.asarray(
