@@ -78,7 +78,7 @@ def main() -> None:
         extra_options = dict(
             kv.split("=", 1) for kv in variant[len("flags:"):].split(",")
         )
-    elif variant != "base":
+    elif variant not in ("base", "onedispatch"):
         raise SystemExit(f"unknown variant: {variant}")
 
     def log(msg: str) -> None:
@@ -108,8 +108,13 @@ def main() -> None:
     jax.block_until_ready(state.params)
     log("state ready")
 
+    # "onedispatch" collapses the gather + train-step pair into ONE jitted
+    # program: probes whether the ~4 ms/step wall-vs-device dispatch gap is
+    # worth one bigger compile (round 2 measured the fused program at
+    # >12 min compile, but that predates the einsum-heads fix).
     step = make_device_data_train_step(
-        model, tx, images_dev, targets_dev, batch_size, aug, extra_options
+        model, tx, images_dev, targets_dev, batch_size, aug, extra_options,
+        fuse_dispatch=(variant == "onedispatch"),
     )
 
     t = time.perf_counter()

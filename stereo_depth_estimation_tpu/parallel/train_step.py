@@ -288,6 +288,7 @@ def make_device_data_train_step(
     extra_compiler_options: dict[str, str] | None = None,
     step_fn: Callable[[TrainState, dict[str, jnp.ndarray]], tuple[TrainState, LossStats]]
     | None = None,
+    fuse_dispatch: bool = False,
 ) -> Callable[[TrainState], tuple[TrainState, LossStats]]:
     """ONE train step over a DEVICE-RESIDENT dataset per dispatch.
 
@@ -309,8 +310,7 @@ def make_device_data_train_step(
             f"dataset of {n} samples is smaller than batch_size={batch_size}"
         )
 
-    @jax.jit
-    def gather(rng, step_idx, images, tgts):
+    def gather_math(rng, step_idx, images, tgts):
         epoch = step_idx // steps_per_epoch
         pos = step_idx % steps_per_epoch
         perm = jax.random.permutation(
@@ -322,6 +322,31 @@ def make_device_data_train_step(
             "target": jnp.take(tgts, idx, axis=0),
         }
 
+    if fuse_dispatch:
+        # Single-program variant: gather + step in ONE jit (same math; the
+        # compiler options move to the top-level jit because they cannot
+        # nest). Measured trade-offs in docs/PERF.md.
+        body = _make_step_body(model, tx, augment_config)
+        options = _step_compiler_options()
+        if extra_compiler_options:
+            options = {**(options or {}), **extra_compiler_options}
+
+        def run_fused(state: TrainState, images, tgts):
+            batch = gather_math(state.rng, state.step, images, tgts)
+            return body(state, batch)
+
+        # The dataset arrays MUST be jit arguments, not closure captures: a
+        # captured device array becomes a jaxpr constant and the whole
+        # 472 MB payload ships inside the (remote) compile request
+        # (observed: HTTP 413 from the compile service).
+        fused = jax.jit(run_fused, donate_argnums=(0,), compiler_options=options)
+
+        def run_wrapper(state: TrainState) -> tuple[TrainState, LossStats]:
+            return fused(state, images_u8, targets)
+
+        return run_wrapper
+
+    gather = jax.jit(gather_math)
     # A caller-supplied step (same batch avals) lets e.g. bench.py share ONE
     # compiled program between this device-resident path and the streamed
     # path instead of compiling twice.

@@ -321,3 +321,45 @@ def test_loader_fetch_thread_pool_matches_serial() -> None:
     pooled = loader_fetch(FakeLoader(), num_workers=3)(idx)
     np.testing.assert_array_equal(serial["input"], pooled["input"])
     np.testing.assert_array_equal(serial["target"], pooled["target"])
+
+
+def test_fused_dispatch_matches_two_dispatch() -> None:
+    """fuse_dispatch=True runs gather+step as ONE jitted program; same
+    permutation scheme and math, so K steps must match the two-dispatch
+    variant (also pins the dataset-as-jit-argument regression: closure
+    capture ships the payload inside the compile request)."""
+    from stereo_depth_estimation_tpu.parallel.train_step import (
+        make_device_data_train_step,
+    )
+
+    import optax
+
+    rng = np.random.default_rng(12)
+    n, batch_size, k = 8, 4, 4
+    b = _synthetic_batch(rng, n)
+    images = jnp.asarray((b["input"] * 255).astype(np.uint8))
+    targets = jnp.asarray(b["target"].astype(np.float16))
+
+    model = StereoUNet(base_channels=4)
+    tx = optax.sgd(1e-2)  # SGD: keeps the comparison linear in the gradient
+    aug = AugmentConfig()
+
+    states = []
+    for fuse in (False, True):
+        state = create_train_state(model, jax.random.key(3), HW, tx)
+        step = make_device_data_train_step(
+            model, tx, images, targets, batch_size, aug, fuse_dispatch=fuse
+        )
+        for _ in range(k):
+            state, stats = step(state)
+        states.append((state, float(stats.nll_sum)))
+
+    (s0, nll0), (s1, nll1) = states
+    np.testing.assert_allclose(nll0, nll1, rtol=1e-5)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5
+        ),
+        s0.params,
+        s1.params,
+    )
