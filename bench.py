@@ -16,8 +16,8 @@ timed out, BENCH_r01.json rc=124):
   per-op dispatch),
 - each step is TWO pipelined dispatches (on-device batch gather + the
   standard augmented train step) instead of one fused or scanned program:
-  the fused/scanned variants take the platform's TPU toolchain >12 min to
-  compile, the split compiles in ~17 s and dispatches asynchronously, so
+  the fused/scanned variants compile 2.4-5x slower for a measured
+  throughput tie (docs/PERF.md), the split dispatches asynchronously, so
   steps pipeline and throughput stays compute-bound (current measured
   numbers live in docs/PERF.md and BENCH_r*.json),
 - the persistent compilation cache is enabled, so repeat runs skip the

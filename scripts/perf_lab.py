@@ -7,12 +7,16 @@ window), but parameterised over the perf knobs under investigation:
   python scripts/perf_lab.py VARIANT [--batch N] [--measure-seconds S]
 
 Variants:
-  base     current production config (the bench.py configuration)
-  fused    hand-scheduled ConvBlock backward (models.unet._fused_conv_bn_relu)
-  bnbf16   BatchNorm batch-statistics reductions in bfloat16
-  remat    rematerialise every ConvBlock in the backward pass
-  noaug    augmentation off (isolates the augment chain's share)
-  fp32     float32 compute (calibrates the bf16 speedup)
+  base        current production config (the bench.py configuration)
+  fused       hand-scheduled ConvBlock backward (_fused_conv_bn_relu)
+  split       decoder conv0 as two half-kernel convs (skip_impl="split")
+  hybridskip  concat forward + split-free custom backward (skip_impl="hybrid")
+  onedispatch gather + step fused into one jitted program
+  scanloop    K=32 steps per dispatch via make_device_data_train_loop
+  bnbf16      BatchNorm batch-statistics reductions in bfloat16
+  remat       rematerialise every ConvBlock in the backward pass
+  noaug       augmentation off (isolates the augment chain's share)
+  fp32        float32 compute (calibrates the bf16 speedup)
   flags:K=V[,K=V...]   extra XLA TPU compiler options on top of base
 
 Prints one JSON line: variant, batch, ms/step, pairs/s.
@@ -78,7 +82,7 @@ def main() -> None:
         extra_options = dict(
             kv.split("=", 1) for kv in variant[len("flags:"):].split(",")
         )
-    elif variant not in ("base", "onedispatch"):
+    elif variant not in ("base", "onedispatch", "scanloop"):
         raise SystemExit(f"unknown variant: {variant}")
 
     def log(msg: str) -> None:
@@ -109,13 +113,29 @@ def main() -> None:
     log("state ready")
 
     # "onedispatch" collapses the gather + train-step pair into ONE jitted
-    # program: probes whether the ~4 ms/step wall-vs-device dispatch gap is
-    # worth one bigger compile (round 2 measured the fused program at
-    # >12 min compile, but that predates the einsum-heads fix).
-    step = make_device_data_train_step(
-        model, tx, images_dev, targets_dev, batch_size, aug, extra_options,
-        fuse_dispatch=(variant == "onedispatch"),
-    )
+    # program; "scanloop" runs K=32 steps per dispatch via lax.scan (both
+    # re-benchable now that the dataset ships as jit arguments instead of
+    # jaxpr constants — docs/PERF.md).
+    steps_per_dispatch = 1
+    if variant == "scanloop":
+        from stereo_depth_estimation_tpu.parallel.train_step import (
+            make_device_data_train_loop,
+        )
+
+        steps_per_dispatch = 32
+        loop = make_device_data_train_loop(
+            model, tx, images_dev, targets_dev, batch_size, aug,
+            steps_per_call=steps_per_dispatch,
+        )
+
+        def step(state):
+            state2, stats_seq = loop(state)
+            return state2, jax.tree.map(lambda x: x[-1], stats_seq)
+    else:
+        step = make_device_data_train_step(
+            model, tx, images_dev, targets_dev, batch_size, aug, extra_options,
+            fuse_dispatch=(variant == "onedispatch"),
+        )
 
     t = time.perf_counter()
     state, stats = step(state)
@@ -128,11 +148,12 @@ def main() -> None:
 
     steps = 0
     windows = 0
+    dispatches_per_window = max(32 // steps_per_dispatch, 1)
     start = time.perf_counter()
     while True:
         state, stats = step(state)
-        steps += 1
-        if steps % 32 == 0:
+        steps += steps_per_dispatch
+        if (steps // steps_per_dispatch) % dispatches_per_window == 0:
             _ = float(np.asarray(stats.nll_sum))
             windows += 1
             elapsed = time.perf_counter() - start

@@ -248,11 +248,11 @@ def make_device_data_train_loop(
     Returns stats stacked over the K steps (each LossStats field has shape
     (K,)), so the caller logs per-step metrics with a single D2H per call.
 
-    NOTE: on the tunneled-TPU bench platform the scanned program compiles
-    pathologically slowly (>12 min); prefer ``make_device_data_train_step``
-    there — its two pipelined dispatches are compute-bound anyway. This scan
-    variant remains the best shape for CPU tests and for environments where
-    per-dispatch latency is high.
+    The dataset arrays are passed as jit ARGUMENTS, not closure captures:
+    a captured device array becomes a jaxpr constant, and on a
+    remote-compile platform the whole payload ships inside the compile
+    request (the round-2 ">12 min scanned compile" observation traced to
+    exactly this — see docs/PERF.md).
     """
     n = images_u8.shape[0]
     steps_per_epoch = n // batch_size
@@ -262,10 +262,10 @@ def make_device_data_train_loop(
         )
     body = _make_step_body(model, tx, augment_config)
 
-    def run(state: TrainState) -> tuple[TrainState, LossStats]:
+    def run(state: TrainState, images, tgts) -> tuple[TrainState, LossStats]:
         def scan_body(carry: TrainState, _):
             batch = _device_batch_select(
-                carry, images_u8, targets, batch_size, steps_per_epoch
+                carry, images, tgts, batch_size, steps_per_epoch
             )
             new_state, stats = body(carry, batch)
             return new_state, stats
@@ -275,7 +275,12 @@ def make_device_data_train_loop(
         )
         return state2, stats_seq
 
-    return jax.jit(run, donate_argnums=(0,))
+    jitted = jax.jit(run, donate_argnums=(0,))
+
+    def wrapper(state: TrainState) -> tuple[TrainState, LossStats]:
+        return jitted(state, images_u8, targets)
+
+    return wrapper
 
 
 def make_device_data_train_step(
@@ -292,16 +297,16 @@ def make_device_data_train_step(
 ) -> Callable[[TrainState], tuple[TrainState, LossStats]]:
     """ONE train step over a DEVICE-RESIDENT dataset per dispatch.
 
-    Same math as ``make_device_data_train_loop`` but built as TWO jitted
-    programs — an on-device batch gather (per-epoch permutation +
-    dynamic-slice + take) and the standard augmented train step. The split
-    is deliberate and measured: the fully-fused gather+augment+train program
-    (and the scanned K-step variant) takes the TPU toolchain on this
-    platform >12 minutes to compile, while the split compiles in ~17 s total
-    and the two dispatches pipeline back-to-back with no device idle — the
-    gather adds ~1 ms to a >100 ms step (docs/PERF.md decomposition). The
-    intermediate batch stays in HBM; nothing crosses the host boundary per
-    step.
+    Same math as ``make_device_data_train_loop`` but built (by default) as
+    TWO jitted programs — an on-device batch gather (per-epoch permutation
+    + dynamic-slice + take) and the standard augmented train step. Measured
+    trade-offs (docs/PERF.md, v5e): all three shapes — split two-dispatch,
+    ``fuse_dispatch=True`` (one program), and the scanned K-step loop —
+    tie on throughput because the split's dispatches already pipeline with
+    no device idle, but the split compiles ~2.4-5x faster, so it stays the
+    default; the fused/scanned shapes suit high-dispatch-latency
+    environments. The intermediate batch stays in HBM; nothing crosses the
+    host boundary per step.
     """
     n = images_u8.shape[0]
     steps_per_epoch = n // batch_size
