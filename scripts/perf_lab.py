@@ -13,6 +13,7 @@ Variants:
   hybridskip  concat forward + split-free custom backward (skip_impl="hybrid")
   onedispatch gather + step fused into one jitted program
   scanloop    K=32 steps per dispatch via make_device_data_train_loop
+  infer       batched inference throughput (make_predict_fn, no grads)
   bnbf16      BatchNorm batch-statistics reductions in bfloat16
   remat       rematerialise every ConvBlock in the backward pass
   noaug       augmentation off (isolates the augment chain's share)
@@ -82,7 +83,7 @@ def main() -> None:
         extra_options = dict(
             kv.split("=", 1) for kv in variant[len("flags:"):].split(",")
         )
-    elif variant not in ("base", "onedispatch", "scanloop"):
+    elif variant not in ("base", "onedispatch", "scanloop", "infer"):
         raise SystemExit(f"unknown variant: {variant}")
 
     def log(msg: str) -> None:
@@ -117,7 +118,36 @@ def main() -> None:
     # re-benchable now that the dataset ships as jit arguments instead of
     # jaxpr constants — docs/PERF.md).
     steps_per_dispatch = 1
-    if variant == "scanloop":
+    if variant == "infer":
+        # Batched inference (eval-mode forward with uncertainty) over
+        # device-resident uint8 batches — the serving-side throughput
+        # counterpart of the training number.
+        from stereo_depth_estimation_tpu.parallel.train_step import (
+            make_predict_fn,
+        )
+
+        import flax.struct
+
+        class _InferStats(flax.struct.PyTreeNode):
+            disp: jnp.ndarray
+
+            @property
+            def nll_sum(self):
+                return self.disp.sum()
+
+        predict_fn = make_predict_fn(model)
+        n_batches = n_samples // batch_size
+        infer_i = [0]
+
+        def step(state):
+            i = infer_i[0] % n_batches
+            infer_i[0] += 1
+            disp, _logvar = predict_fn(
+                state.params, state.batch_stats,
+                images_dev[i * batch_size : (i + 1) * batch_size],
+            )
+            return state, _InferStats(disp)
+    elif variant == "scanloop":
         from stereo_depth_estimation_tpu.parallel.train_step import (
             make_device_data_train_loop,
         )
