@@ -193,3 +193,30 @@ def test_config_validation_matches_reference() -> None:
         A.AugmentConfig(saturation_jitter=-1.0)
     with pytest.raises(ValueError):
         A.AugmentConfig(gamma_jitter=-0.1)
+
+
+def test_noise_and_clip_stereo_per_view_std() -> None:
+    """The joint 6-channel noise pass must apply the LEFT std to channels
+    0-2 and the RIGHT std to channels 3-5 (asymmetric augmentation): zero
+    std on one view leaves that view exactly clamped-unchanged."""
+    import jax
+
+    from stereo_depth_estimation_tpu.ops.augment import noise_and_clip_stereo
+
+    rng = np.random.default_rng(0)
+    stereo = jnp.asarray(rng.uniform(0.2, 0.8, (2, 8, 10, 6)).astype(np.float32))
+    zeros = jnp.zeros((2,), jnp.float32)
+    big = jnp.full((2,), 0.3, jnp.float32)
+
+    out = noise_and_clip_stereo(jax.random.key(0), stereo, zeros, big, True)
+    np.testing.assert_array_equal(
+        np.asarray(out[..., :3]), np.asarray(stereo[..., :3])
+    )
+    assert float(jnp.abs(out[..., 3:] - stereo[..., 3:]).max()) > 0.01
+
+    # disabled -> pure clamp
+    out2 = noise_and_clip_stereo(jax.random.key(0), stereo * 2.0, big, big, False)
+    assert float(out2.max()) <= 1.0
+    np.testing.assert_array_equal(
+        np.asarray(out2), np.asarray(jnp.clip(stereo * 2.0, 0.0, 1.0))
+    )
