@@ -23,10 +23,11 @@ timed out, BENCH_r01.json rc=124):
 - the persistent compilation cache is enabled, so repeat runs skip the
   one-time XLA compile,
 - stage progress goes to stderr so a timeout is diagnosable,
-- the device-resident metric is the BEST of several independent synced
-  windows (all windows reported): the shared platform shows intermittent
-  2x slowdowns between back-to-back windows of the identical program, so
-  a single window measures the weather, not the framework,
+- the device-resident metric is the MEDIAN of several independent synced
+  windows (all windows + the best reported): the shared platform shows
+  intermittent 2x slowdowns between back-to-back windows of the identical
+  program, so a single window measures the weather, not the framework,
+  and a best-of headline would overstate sustained rate,
 - the streamed metric times the production packed-cache -> prefetch ->
   step path and carries an H2D bandwidth probe, because on a tunneled
   transport it is transport-bound (docs/PERF.md).
@@ -124,13 +125,13 @@ def main() -> None:
         state, stats = step(state)
     _ = float(np.asarray(stats.nll_sum))
 
-    # Measure several independent synced windows and report the FASTEST
-    # one (all windows go into the JSON). The shared bench platform has
+    # Measure several independent synced windows and report the MEDIAN
+    # (all windows go into the JSON). The shared bench platform has
     # intermittent multi-x slowdowns (tunnel/server contention): measured
     # 64-step windows of 8.4 s and 15.7 s back-to-back for the identical
     # compiled program, while the per-op device profile is stable at
-    # ~129 ms/step (docs/PERF.md). The best window is the framework's
-    # actual capability; the spread documents the weather.
+    # ~129 ms/step (docs/PERF.md). The median is robust to those outliers;
+    # the per-window list and the best window document the spread.
     window_steps = 32
     window_rates: list[float] = []
     # First window discarded: on this platform the first post-compile
@@ -147,7 +148,11 @@ def main() -> None:
         if window > 0:
             window_rates.append(round(rate, 1))
 
-    pairs_per_sec = max(window_rates)
+    # Headline = MEDIAN of windows (robust to the platform's intermittent
+    # slow-window outliers without overstating sustained rate the way a
+    # best-of headline would); the best window is still reported explicitly.
+    pairs_per_sec = float(np.median(window_rates))
+    best_window = max(window_rates)
 
     streamed = bench_streamed_path(state, inner_step, batch_size, hw, n_samples)
 
@@ -158,6 +163,7 @@ def main() -> None:
                 "value": round(pairs_per_sec, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                "best_window_pairs_per_sec": round(best_window, 1),
                 "batch_size": batch_size,
                 "compile_seconds": round(compile_seconds, 2),
                 "steps_per_window": window_steps,

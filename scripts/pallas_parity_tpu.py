@@ -12,6 +12,7 @@ Usage (on a machine with the TPU attached):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -56,7 +57,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     for name, cfg, (n, h, w) in configs:
         x = jnp.asarray(rng.integers(0, 256, (n, h, w, 6), dtype=np.uint8))
-        key = jax.random.key(hash(name) & 0xFFFF)
+        # Deterministic per-config seed: Python's str hash is
+        # PYTHONHASHSEED-randomised per process, which would regenerate the
+        # committed parity artifact from different inputs every run.
+        key = jax.random.key(
+            int.from_bytes(
+                hashlib.blake2s(name.encode(), digest_size=2).digest(), "little"
+            )
+        )
         ref = augment_stereo_batch(
             key, x.astype(jnp.float32) / 255.0, cfg
         )

@@ -97,7 +97,8 @@ def evaluate(args: argparse.Namespace) -> dict:
     # Scale scoring over the mesh exactly like training: params replicated,
     # batches sharded on the data axis with pad-and-mask for indivisible
     # batch/tail sizes (exact — eval-mode BN uses running stats and every
-    # metric is a masked sum, tests/test_eval_mesh.py).
+    # metric is a masked sum,
+    # tests/test_trainer.py::test_offline_evaluate_matches_training_val_metrics).
     from ..training.trainer import resolve_devices
 
     mesh = make_mesh(

@@ -118,6 +118,16 @@ def _load_pair_u8(
     return np.concatenate([one(left), one(right)], axis=-1)  # (H, W, 6)
 
 
+def _scene_qualified_stem(sample) -> str:
+    """``<scene>_<stem>`` using the cache key's scene rule (the path segment
+    before ``dataset`` — data/cache.py), falling back to the bare stem for
+    non-canonical layouts."""
+    parts = sample.left_rgb_path.parts
+    if "dataset" in parts and parts.index("dataset") > 0:
+        return f"{parts[parts.index('dataset') - 1]}_{sample.left_rgb_path.stem}"
+    return sample.left_rgb_path.stem
+
+
 def _depth_geometry(
     calibration: Path, model_width: int
 ) -> tuple[float, float]:
@@ -128,7 +138,16 @@ def _depth_geometry(
     baseline_m = estimate_baseline_m(p1, p2, t)
     if baseline_m is None:
         raise ValueError(f"No usable baseline in calibration: {calibration}")
+    if p1 is None and "mtx_l" not in calib:
+        raise ValueError(
+            "Calibration file has neither 'P1' nor 'mtx_l', so no focal "
+            f"length is available: {calibration}"
+        )
     focal_calib = float(p1[0, 0]) if p1 is not None else float(calib["mtx_l"][0, 0])
+    if "image_size" not in calib:
+        raise ValueError(
+            f"Calibration file is missing 'image_size': {calibration}"
+        )
     calib_width = int(np.asarray(calib["image_size"]).reshape(-1)[0])
     return scale_focal_to_model(focal_calib, calib_width, model_width), baseline_m
 
@@ -153,8 +172,11 @@ def predict(args: argparse.Namespace) -> dict:
         if args.split != "all":
             train_s, val_s = split_samples(samples, args.val_fraction, args.seed)
             samples = val_s if args.split == "val" else train_s
+        # Output keys are scene-qualified: stems are per-scene frame indices
+        # (000000.png exists in every scene_*/dataset/data tree), so a bare
+        # stem would silently overwrite outputs across scenes.
         pairs = [
-            (s.left_rgb_path.stem, s.left_rgb_path, s.right_rgb_path)
+            (_scene_qualified_stem(s), s.left_rgb_path, s.right_rgb_path)
             for s in samples
         ]
     else:
@@ -163,6 +185,15 @@ def predict(args: argparse.Namespace) -> dict:
             pairs = pairs[: args.max_samples]
     if not pairs:
         raise ValueError("No stereo pairs found to predict on.")
+    seen: dict[str, Path] = {}
+    for stem, left, _right in pairs:
+        if stem in seen:
+            raise ValueError(
+                f"Duplicate output key {stem!r} for {left} and {seen[stem]}: "
+                "outputs would overwrite each other. Rename the colliding "
+                "inputs or predict the directories separately."
+            )
+        seen[stem] = left
 
     checkpoint_path = resolve_checkpoint_path(
         args.output_dir, checkpoint=args.checkpoint, run_id=args.run_id,

@@ -239,6 +239,18 @@ def _make_fetch(
 
     In multihost runs only process 0 (re)builds a packed cache; followers
     wait for its manifest, so hosts sharing a filesystem don't race."""
+    if cfg.input_precision == "float32" and cfg.cache_root:
+        # The npz cache stores uint8 images (same quantisation as the
+        # reference's cache writer), so with a cache configured a sample
+        # would return true float32 values on a miss but dequantised
+        # uint8/255 values on every later hit — silently breaking the
+        # "float32 reproduces the reference's uncached float path" contract.
+        raise ValueError(
+            "--input-precision float32 cannot be combined with "
+            "--cache-root: the npz cache stores uint8 images, so cached "
+            "epochs would silently see quantised values. Drop one of the "
+            "two flags."
+        )
     loader = StereoSampleLoader(
         samples,
         image_size=(cfg.height, cfg.width),

@@ -111,20 +111,24 @@ def test_tail_batch_matches_full_batch(
 
 
 def test_dataset_split_mode(checkpoint_dir: Path, tmp_path: Path) -> None:
+    """Two scenes sharing frame stems (000000.png lives in EVERY scene's
+    tree): outputs must be scene-qualified so scenes don't overwrite each
+    other."""
     root = tmp_path / "data"
     rng = np.random.default_rng(1)
-    for i in range(4):
-        base = root / "scene_01" / "dataset" / "data"
-        for sub in ("left/rgb", "right/rgb", "left/disparity"):
-            (base / sub).mkdir(parents=True, exist_ok=True)
-        for sub in ("left/rgb", "right/rgb"):
-            Image.fromarray(
-                rng.integers(0, 256, (*HW, 3), dtype=np.uint8)
-            ).save(base / sub / f"{i:06d}.png")
-        disparity = rng.uniform(0.5, 20.0, HW).astype(np.float32)
-        Image.fromarray(disparity_encode_np(disparity)).save(
-            base / "left/disparity" / f"{i:06d}.png"
-        )
+    for scene in ("scene_01", "scene_02"):
+        for i in range(2):
+            base = root / scene / "dataset" / "data"
+            for sub in ("left/rgb", "right/rgb", "left/disparity"):
+                (base / sub).mkdir(parents=True, exist_ok=True)
+            for sub in ("left/rgb", "right/rgb"):
+                Image.fromarray(
+                    rng.integers(0, 256, (*HW, 3), dtype=np.uint8)
+                ).save(base / sub / f"{i:06d}.png")
+            disparity = rng.uniform(0.5, 20.0, HW).astype(np.float32)
+            Image.fromarray(disparity_encode_np(disparity)).save(
+                base / "left/disparity" / f"{i:06d}.png"
+            )
     out = tmp_path / "pred"
     result = predict(_args(
         dataset_root=root, split="all", checkpoint=checkpoint_dir,
@@ -132,7 +136,52 @@ def test_dataset_split_mode(checkpoint_dir: Path, tmp_path: Path) -> None:
         base_channels=BASE,
     ))
     assert result["pairs"] == 4
-    assert len(list(out.glob("*.npz"))) == 4
+    names = sorted(f.name for f in out.glob("*.npz"))
+    assert names == [
+        "scene_01_000000.npz", "scene_01_000001.npz",
+        "scene_02_000000.npz", "scene_02_000001.npz",
+    ]
+
+
+def test_duplicate_pair_stems_rejected(
+    checkpoint_dir: Path, pair_dirs, tmp_path: Path
+) -> None:
+    """Directory mode with colliding stems must fail loudly, not overwrite."""
+    left_dir, right_dir = pair_dirs
+    dup_left, dup_right = tmp_path / "l", tmp_path / "r"
+    dup_left.mkdir(), dup_right.mkdir()
+    img = Image.fromarray(np.zeros((*HW, 3), np.uint8))
+    for d in (dup_left, dup_right):
+        img.save(d / "frame.png")
+        img.save(d / "frame.jpg")  # same stem, different extension
+    with pytest.raises(ValueError, match="Duplicate output key"):
+        predict(_args(
+            left_dir=dup_left, right_dir=dup_right, checkpoint=checkpoint_dir,
+            predictions_dir=tmp_path / "pred", height=HW[0], width=HW[1],
+            batch_size=2, base_channels=BASE,
+        ))
+
+
+def test_malformed_calibration_raises_value_error(
+    checkpoint_dir: Path, pair_dirs, tmp_path: Path
+) -> None:
+    left_dir, right_dir = pair_dirs
+    common = dict(
+        left_dir=left_dir, right_dir=right_dir, checkpoint=checkpoint_dir,
+        predictions_dir=tmp_path / "pred", height=HW[0], width=HW[1],
+        batch_size=5, base_channels=BASE,
+    )
+    no_focal = tmp_path / "no_focal.npz"
+    np.savez(no_focal, T=np.array([-0.07, 0, 0]),
+             image_size=np.array([640, 480]))
+    with pytest.raises(ValueError, match="'P1' nor 'mtx_l'"):
+        predict(_args(calibration=no_focal, **common))
+
+    no_size = tmp_path / "no_size.npz"
+    np.savez(no_size, T=np.array([-0.07, 0, 0]),
+             mtx_l=np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]]))
+    with pytest.raises(ValueError, match="image_size"):
+        predict(_args(calibration=no_size, **common))
 
 
 def test_calibration_adds_metric_depth(

@@ -171,6 +171,15 @@ def test_float32_input_precision_trains(dataset_root: Path, tmp_path: Path) -> N
             packed_cache_root=str(tmp_path / "packed"),
         ))
 
+    # The npz read-through cache stores uint8, so float32 inputs would see
+    # true floats on a miss but dequantised values on every hit.
+    with pytest.raises(ValueError, match="float32 cannot be combined"):
+        train(_config(
+            dataset_root,
+            input_precision="float32",
+            cache_root=str(tmp_path / "npz_cache"),
+        ))
+
 
 def test_parse_args_defaults_match_reference() -> None:
     cfg = parse_args([])
