@@ -72,8 +72,26 @@ def main() -> None:
         make_train_step,
     )
 
-    hw = (240, 320)
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    import argparse
+
+    parser = argparse.ArgumentParser(description="training throughput bench")
+    parser.add_argument("batch_size", nargs="?", type=int, default=128)
+    parser.add_argument("--height", type=int, default=240)
+    parser.add_argument("--width", type=int, default=320)
+    parser.add_argument("--fast", action="store_true",
+                        help="fast-mode config: half resolution (120x160, "
+                             "width-scaled disparity — the data layer "
+                             "rescales targets exactly), batch 256. Changes "
+                             "the MATH (docs/PERF.md 'Fast mode'); the "
+                             "default config is the exact-parity one.")
+    parser.add_argument("--skip-streamed", action="store_true")
+    args = parser.parse_args()
+    if args.fast:
+        args.height, args.width = 120, 160
+        if args.batch_size == 128:
+            args.batch_size = 256
+    hw = (args.height, args.width)
+    batch_size = args.batch_size
     n_samples = 1024
 
     _log(f"devices: {jax.devices()}")
@@ -108,18 +126,38 @@ def main() -> None:
 
     # One compiled step program serves both measurements: the device-resident
     # path wraps it behind an on-device gather, the streamed path feeds it
-    # host batches (identical avals -> no second compile).
-    inner_step = make_train_step(model, tx, AugmentConfig())
+    # host batches (identical avals -> no second compile). The step is
+    # AOT-cached on disk (parallel/aot_cache.py): this platform's
+    # persistent-cache keys don't transfer across processes, so a fresh
+    # process would otherwise pay the full ~90-215 s XLA compile; loading
+    # the serialized executable skips it (only the ~30-40 s per-process
+    # server-side execution warmup remains).
+    from stereo_depth_estimation_tpu.parallel.aot_cache import (
+        compile_with_disk_cache,
+    )
+
+    jitted_step = make_train_step(model, tx, AugmentConfig())
+    example_batch = {
+        "input": jnp.zeros((batch_size, *hw, 6), jnp.uint8),
+        "target": jnp.zeros((batch_size, *hw), jnp.float16),
+    }
+    t = time.perf_counter()
+    inner_step, step_source = compile_with_disk_cache(
+        jitted_step, cache_dir, state, example_batch, verbose=True,
+    )
+    step_ready_seconds = time.perf_counter() - t
+    _log(f"train step ready in {step_ready_seconds:.1f}s ({step_source})")
     step = make_device_data_train_step(
         model, tx, images_dev, targets_dev, batch_size, AugmentConfig(),
-        step_fn=inner_step,
+        step_fn=inner_step, aot_cache_dir=cache_dir,
     )
 
     t = time.perf_counter()
     state, stats = step(state)
     _ = float(np.asarray(stats.nll_sum))  # full sync
-    compile_seconds = time.perf_counter() - t
-    _log(f"warmup step (compile) done in {compile_seconds:.1f}s")
+    compile_seconds = step_ready_seconds + time.perf_counter() - t
+    _log(f"warmup step done in {compile_seconds:.1f}s total "
+         f"(step program: {step_source})")
     # A few post-compile steps to settle the pipeline before timing.
     for _i in range(4):
         state, stats = step(state)
@@ -154,18 +192,25 @@ def main() -> None:
     pairs_per_sec = float(np.median(window_rates))
     best_window = max(window_rates)
 
-    streamed = bench_streamed_path(state, inner_step, batch_size, hw, n_samples)
+    streamed = (
+        {} if args.skip_streamed
+        else bench_streamed_path(state, inner_step, batch_size, hw, n_samples)
+    )
 
+    metric = "stereo_pairs_per_sec_per_chip_320x240_e2e"
+    if hw != (240, 320):
+        metric = f"stereo_pairs_per_sec_per_chip_{hw[1]}x{hw[0]}_fastmode_e2e"
     print(
         json.dumps(
             {
-                "metric": "stereo_pairs_per_sec_per_chip_320x240_e2e",
+                "metric": metric,
                 "value": round(pairs_per_sec, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
                 "best_window_pairs_per_sec": round(best_window, 1),
                 "batch_size": batch_size,
                 "compile_seconds": round(compile_seconds, 2),
+                "step_program_source": step_source,
                 "steps_per_window": window_steps,
                 "window_pairs_per_sec": window_rates,
                 **streamed,
@@ -240,6 +285,8 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
         rate = steps * batch_size / elapsed
         _log(f"streamed: {steps} steps in {elapsed:.1f}s = {rate:.1f} pairs/s")
 
+        windowed = bench_windowed(state, step, cache, batch_size, n_samples)
+
         # Raw H2D bandwidth probe: device_put of one batch payload, timed.
         # Makes the streamed-vs-resident gap self-explaining: the streamed
         # path ships ~78 MB/step, so when this probe reads single-digit
@@ -258,9 +305,64 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
             "streamed_pairs_per_sec": round(rate, 1),
             "streamed_steps_measured": steps,
             "h2d_mb_per_sec": round(h2d_mbps, 1),
+            **windowed,
         }
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def bench_windowed(state, step, cache, batch_size, n_samples) -> dict:
+    """HBM-windowed production path (parallel/window.py), both regimes:
+
+    - pinned: the whole packed set fits the HBM budget -> staged once,
+      epochs 1+ pay ZERO host traffic (steady-state == device-resident);
+    - rotating: budget forced below the set size -> double-buffered epoch
+      windows with the next window's H2D overlapped behind training. On a
+      tunneled transport this is transport-bound at dataset-bytes/epoch —
+      the structural fix over per-step streaming, which pays the same bytes
+      but serialises them against every step."""
+    import jax
+
+    from stereo_depth_estimation_tpu.parallel.mesh import make_mesh
+    from stereo_depth_estimation_tpu.parallel.window import HBMWindowLoader
+
+    mesh = make_mesh(jax.devices()[:1])
+    bytes_per_sample = (
+        cache._images.nbytes + cache._disparity.nbytes
+    ) // n_samples
+    results: dict[str, float] = {}
+    for label, budget in (
+        ("windowed_pinned", 4 << 30),
+        ("windowed_rotating", (n_samples * bytes_per_sample) // 2),
+    ):
+        loader = HBMWindowLoader(
+            cache.gather, n_samples, batch_size, mesh,
+            bytes_per_sample=bytes_per_sample, budget_bytes=budget, seed=0,
+        )
+        wstep = loader.step_adapter(step)
+        stats = None
+        # Epoch 0 warms (and, for pinned, amortises the one-time staging).
+        for wb in loader.epoch_batches(0):
+            state, stats = wstep(state, wb)
+        _ = float(np.asarray(stats.nll_sum))
+        steps = 0
+        ep = 1
+        start = time.perf_counter()
+        while time.perf_counter() - start < MEASURE_SECONDS:
+            for wb in loader.epoch_batches(ep):
+                state, stats = wstep(state, wb)
+                steps += 1
+            _ = float(np.asarray(stats.nll_sum))
+            ep += 1
+        elapsed = time.perf_counter() - start
+        rate = steps * batch_size / elapsed
+        plan = loader.plan
+        _log(
+            f"{label}: {steps} steps in {elapsed:.1f}s = {rate:.1f} pairs/s "
+            f"({plan.num_windows} window(s) of {plan.window_samples})"
+        )
+        results[f"{label}_pairs_per_sec"] = round(rate, 1)
+    return results
 
 
 if __name__ == "__main__":

@@ -1,0 +1,138 @@
+"""AOT executable disk cache: skip XLA recompiles across PROCESSES.
+
+The platform's persistent compilation cache keys do not transfer across
+processes here (byte-identical programs produced distinct keys — see
+docs/PERF.md "Known bounded gaps"), so every fresh process pays the full
+step compile (~90-215 s measured). This module sidesteps the cache-key
+problem entirely: the first process serialises the COMPILED PJRT
+executable (``jax.experimental.serialize_executable``) to disk keyed by a
+digest of the program's own StableHLO text (plus jax version and device
+kind), and later processes deserialise and load it — paying lowering
+(sub-second tracing) instead of compilation.
+
+Scope and honesty:
+- The digest covers exactly what determines the executable: the lowered
+  module text, compiler options are the jit's own (they are baked into the
+  lowered object), the backend version, and the device kind/count.
+- Executable portability is backend-dependent; every load is wrapped, and
+  any failure falls back to a normal ``lower().compile()`` and re-saves.
+- Donation/sharding metadata rides inside the serialised executable; the
+  call signature of the returned object matches the jitted function's.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+from pathlib import Path
+from typing import Any, Callable
+
+
+def _digest(lowered: Any, extra: str = "") -> str:
+    import jax
+
+    devices = jax.devices()
+    key = "\x00".join(
+        (
+            lowered.as_text(),
+            jax.__version__,
+            devices[0].device_kind,
+            str(len(devices)),
+            extra,
+        )
+    )
+    return hashlib.blake2s(key.encode()).hexdigest()
+
+
+def compile_with_disk_cache(
+    jitted: Callable[..., Any],
+    cache_dir: str | Path,
+    *args: Any,
+    verbose: bool = False,
+    **kwargs: Any,
+) -> tuple[Callable[..., Any], str]:
+    """Lower ``jitted`` for ``args``/``kwargs`` and return
+    ``(compiled_callable, source)`` where source is one of:
+
+    - ``"aot-cache"``  — deserialised a previously saved executable,
+    - ``"compiled"``   — compiled now and saved for future processes,
+    - ``"compiled-unsaved"`` — compiled now; this backend would not
+      serialise (the executable still works, nothing is cached).
+    """
+    from jax.experimental import serialize_executable
+
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    lowered = jitted.lower(*args, **kwargs)
+    path = cache_dir / f"aot_{_digest(lowered)}.bin"
+
+    if path.exists():
+        try:
+            payload, in_tree, out_tree, device_ids = pickle.loads(
+                path.read_bytes()
+            )
+            # deserialize_and_load defaults execution_devices to ALL local
+            # devices; the executable must run on the same device set it was
+            # compiled for (e.g. 1 of an 8-device farm).
+            execution_devices = None
+            if device_ids is not None:
+                import jax
+
+                by_id = {d.id: d for d in jax.devices()}
+                execution_devices = [by_id[i] for i in device_ids]
+            compiled = serialize_executable.deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=execution_devices,
+            )
+            if verbose:
+                print(f"[aot_cache] loaded executable from {path.name}")
+            return compiled, "aot-cache"
+        except Exception as exc:  # corrupt / incompatible: recompile below
+            if verbose:
+                print(f"[aot_cache] load failed ({exc!r}); recompiling")
+            try:
+                path.unlink()
+            except OSError:
+                pass
+
+    compiled = lowered.compile()
+    try:
+        device_ids = _device_assignment_ids(compiled)
+        blob = pickle.dumps(
+            (*serialize_executable.serialize(compiled), device_ids)
+        )
+    except Exception as exc:
+        if verbose:
+            print(f"[aot_cache] backend would not serialize ({exc!r})")
+        return compiled, "compiled-unsaved"
+    # Atomic publish: a concurrent process never reads a half-written blob.
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return compiled, "compiled-unsaved"
+    if verbose:
+        print(
+            f"[aot_cache] saved executable ({len(blob) / 1e6:.1f} MB) "
+            f"to {path.name}"
+        )
+    return compiled, "compiled"
+
+
+def _device_assignment_ids(compiled: Any) -> list[int] | None:
+    """Device ids the executable was compiled for (best effort)."""
+    try:
+        return [d.id for d in compiled._executable.xla_executable.local_devices()]
+    except Exception:
+        return None
+
+
+__all__ = ["compile_with_disk_cache"]

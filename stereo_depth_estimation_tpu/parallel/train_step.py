@@ -294,6 +294,7 @@ def make_device_data_train_step(
     step_fn: Callable[[TrainState, dict[str, jnp.ndarray]], tuple[TrainState, LossStats]]
     | None = None,
     fuse_dispatch: bool = False,
+    aot_cache_dir: str | None = None,
 ) -> Callable[[TrainState], tuple[TrainState, LossStats]]:
     """ONE train step over a DEVICE-RESIDENT dataset per dispatch.
 
@@ -352,6 +353,16 @@ def make_device_data_train_step(
         return run_wrapper
 
     gather = jax.jit(gather_math)
+    if aot_cache_dir is not None:
+        # Skip the gather's cross-process recompile too (parallel/aot_cache):
+        # on this platform it costs O(100 s) per fresh process even though
+        # the program is tiny (docs/PERF.md "Known bounded gaps").
+        from .aot_cache import compile_with_disk_cache
+
+        gather, _src = compile_with_disk_cache(
+            gather, aot_cache_dir,
+            jax.random.key(0), jnp.zeros((), jnp.int32), images_u8, targets,
+        )
     # A caller-supplied step (same batch avals) lets e.g. bench.py share ONE
     # compiled program between this device-resident path and the streamed
     # path instead of compiling twice.

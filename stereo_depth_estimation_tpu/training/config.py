@@ -59,7 +59,17 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # MXU-friendly; "float32" for parity runs
     packed_cache_root: str | None = None  # fast-path packed array cache
     device_resident: str = "auto"  # auto|on|off: train from HBM-staged data
+    # Per-device HBM byte budget for device-resident windows (aggregate =
+    # value x mesh devices): the packed set pins when it fits, else rotates
+    # double-buffered epoch windows through HBM (parallel/window.py).
+    hbm_window_gb: float = 4.0
     resume: str | None = None  # checkpoint dir to resume from (superset of ref)
+    # Start from an existing model's weights (orbax dir or reference-format
+    # .pt): params+batch_stats only, fresh optimizer/epoch counter. Distinct
+    # from --resume, which restores the FULL TrainState mid-run. Enables
+    # fine-tuning and identical-init cross-framework comparisons
+    # (scripts/convergence_run.py).
+    init_checkpoint: str | None = None
     log_every_batches: int = 10  # MLFLOW_TRAIN_LOG_EVERY_BATCHES (train.py:23)
     preview_samples: int = 8  # MLFLOW_PREVIEW_SAMPLES (train.py:24)
     profile_dir: str | None = None  # arm a jax.profiler trace of early steps
@@ -161,8 +171,18 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         help="Stage the packed training set into device memory once and run "
              "the fully on-device step (zero per-step host traffic). "
              "'auto' enables it when the packed cache fits comfortably.")
+    add("--hbm-window-gb", type=float, default=defaults.hbm_window_gb,
+        dest="hbm_window_gb",
+        help="Per-device HBM budget (GB) for device-resident windows; the "
+             "packed set pins when it fits, else rotates double-buffered "
+             "epoch windows through device memory.")
     add("--resume", type=str, default=None,
         help="Checkpoint directory to resume training from.")
+    add("--init-checkpoint", type=str, default=None, dest="init_checkpoint",
+        help="Initialise model weights (params+batch_stats) from an orbax "
+             "checkpoint dir or a reference-format .pt file; optimizer and "
+             "epoch counter start fresh (fine-tuning / identical-init "
+             "comparisons).")
     add("--log-every-batches", type=int, default=defaults.log_every_batches,
         help="Step-metric logging cadence in training batches.")
     add("--preview-samples", type=int, default=defaults.preview_samples,

@@ -44,6 +44,7 @@ from ..parallel.distributed import (
     is_main_process,
 )
 from ..parallel.mesh import make_mesh, replicate_to_mesh, shard_batch_to_mesh
+from ..parallel.window import HBMWindowLoader, default_hbm_budget_bytes
 from ..parallel.train_step import (
     TrainState,
     create_train_state,
@@ -52,7 +53,7 @@ from ..parallel.train_step import (
     make_predict_fn,
     make_train_step,
 )
-from .checkpoint import load_train_state, save_checkpoint
+from .checkpoint import load_model_variables, load_train_state, save_checkpoint
 from .config import TrainConfig, parse_args
 from .profiling import StepProfiler
 from .tracking import TrackingRun
@@ -118,6 +119,7 @@ def tracking_params(
         "spatial_devices": cfg.spatial_devices,
         "base_channels": cfg.base_channels,
         "device_resident": cfg.device_resident,
+        "hbm_window_gb": cfg.hbm_window_gb,
         "augment_impl": cfg.augment_impl,
         "input_precision": cfg.input_precision,
     }
@@ -135,6 +137,8 @@ def tracking_params(
         )
     if cfg.cache_root:
         params["cache_root"] = str(Path(cfg.cache_root).expanduser())
+    if cfg.init_checkpoint:
+        params["init_checkpoint"] = str(Path(cfg.init_checkpoint).expanduser())
     params["require_cache"] = cfg.require_cache
     if cfg.max_samples > 0:
         params["max_samples"] = cfg.max_samples
@@ -417,6 +421,21 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     )
     num_parameters = count_params(state.params)
     start_epoch = 1
+    if cfg.init_checkpoint:
+        if cfg.resume:
+            raise ValueError(
+                "--init-checkpoint and --resume are mutually exclusive: "
+                "resume restores the full TrainState including these weights."
+            )
+        variables, _meta = load_model_variables(
+            Path(cfg.init_checkpoint),
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        if main_process:
+            print(f"Initialised model weights from {cfg.init_checkpoint}.")
     if cfg.resume:
         state, meta = load_train_state(Path(cfg.resume), state)
         start_epoch = int(meta.get("epoch", 0)) + 1
@@ -428,70 +447,76 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     eval_step = make_eval_step(model)
     predict = make_predict_fn(model)
 
-    # Device-resident fast path: when the packed training set fits HBM,
-    # stage it once and train with zero per-step host traffic (on-device
-    # shuffle + gather + augmented step — the same pipeline bench.py
-    # measures). Single-process, single-device only; streamed epochs are
-    # the general path.
-    device_step = None
-    steps_per_epoch_dr = 0
+    # Device-resident fast path, HBM-windowed (parallel/window.py): the
+    # packed training set is staged into device memory sharded over the
+    # mesh — pinned once when it fits the budget (zero steady-state host
+    # traffic), rotating at epoch granularity with the next window's H2D
+    # overlapped behind training when it doesn't. Works on any
+    # single-process mesh; multihost runs stream (per-host stripes).
+    windowed: HBMWindowLoader | None = None
     device_val_batches: list | None = None
     if cfg.device_resident == "on" and (
         train_cache is None
-        or len(devices) > 1
         or (cfg.multihost and jax.process_count() > 1)
     ):
         if main_process:
             print(
                 "--device-resident on requested but unavailable "
-                "(needs --packed-cache-root, one device, single process); "
+                "(needs --packed-cache-root and a single process); "
                 "falling back to streamed batches."
             )
     if (
         cfg.device_resident != "off"
         and train_cache is not None
-        and len(devices) == 1
         and not (cfg.multihost and jax.process_count() > 1)
     ):
         payload_bytes = (
             train_cache._images.nbytes + train_cache._disparity.nbytes
         )
-        if cfg.device_resident == "on" or payload_bytes <= 4 << 30:
-            if n_train < cfg.batch_size:
-                raise ValueError(
-                    f"--device-resident: training set ({n_train}) is smaller "
-                    f"than --batch-size ({cfg.batch_size})."
-                )
-            data = train_cache.load_all()
-            images_dev = jax.device_put(jnp.asarray(data["input"]))
-            targets_dev = jax.device_put(jnp.asarray(data["target"]))
-            from ..parallel.train_step import make_device_data_train_step
-
-            device_step = make_device_data_train_step(
-                model, tx, images_dev, targets_dev, cfg.batch_size,
-                augment_config_from(cfg),
+        budget = default_hbm_budget_bytes(mesh, cfg.hbm_window_gb)
+        try:
+            windowed = HBMWindowLoader(
+                train_cache.gather,
+                n_train,
+                cfg.batch_size,
+                mesh,
+                bytes_per_sample=payload_bytes // max(n_train, 1),
+                budget_bytes=budget,
+                seed=cfg.seed,
             )
-            steps_per_epoch_dr = n_train // cfg.batch_size
+        except ValueError as exc:
+            if cfg.device_resident == "on":
+                raise ValueError(f"--device-resident: {exc}") from exc
             if main_process:
-                print(
-                    f"Device-resident training: {payload_bytes / 1e6:.0f} MB "
-                    f"staged to {devices[0].platform}, "
-                    f"{steps_per_epoch_dr} steps/epoch (on-device shuffle; "
-                    "epoch tails rotate in via per-epoch permutations)."
-                )
-            if _val_cache is not None:
-                # Stage validation too: epochs then run with zero host
-                # traffic. Batches are device-array slices built once.
-                val_data = _val_cache.load_all()
-                val_imgs = jax.device_put(jnp.asarray(val_data["input"]))
-                val_tgts = jax.device_put(jnp.asarray(val_data["target"]))
-                device_val_batches = [
-                    {
-                        "input": val_imgs[i : i + cfg.batch_size],
-                        "target": val_tgts[i : i + cfg.batch_size],
-                    }
-                    for i in range(0, n_val, cfg.batch_size)
-                ]
+                print(f"Device-resident unavailable ({exc}); streaming.")
+        if windowed is not None and main_process:
+            plan = windowed.plan
+            mode = (
+                "pinned (staged once, reused every epoch)"
+                if plan.pinned
+                else f"rotating {plan.num_windows} windows of "
+                     f"{plan.window_samples} samples (next window's H2D "
+                     "overlapped behind training)"
+            )
+            print(
+                f"Device-resident training: {payload_bytes / 1e6:.0f} MB "
+                f"over {len(devices)} device(s), {mode}, "
+                f"{plan.steps_per_epoch} steps/epoch (shard-local on-device "
+                "shuffle; epoch tails rotate in via per-epoch permutations)."
+            )
+        if windowed is not None and _val_cache is not None and len(devices) == 1:
+            # Stage validation too (single device): epochs then run with
+            # zero host traffic. Batches are device-array slices built once.
+            val_data = _val_cache.load_all()
+            val_imgs = jax.device_put(jnp.asarray(val_data["input"]))
+            val_tgts = jax.device_put(jnp.asarray(val_data["target"]))
+            device_val_batches = [
+                {
+                    "input": val_imgs[i : i + cfg.batch_size],
+                    "target": val_tgts[i : i + cfg.batch_size],
+                }
+                for i in range(0, n_val, cfg.batch_size)
+            ]
 
     if cfg.multihost and jax.process_count() > 1:
         # Each host decodes only its stripe of every global batch and the
@@ -546,9 +571,9 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
 
         for epoch in range(start_epoch, cfg.epochs + 1):
             start_time = time.time()
-            if device_step is not None:
-                step_fn = lambda s, _batch: device_step(s)  # noqa: E731
-                train_batches: Any = iter([None] * steps_per_epoch_dr)
+            if windowed is not None:
+                step_fn = windowed.step_adapter(train_step)
+                train_batches: Any = windowed.epoch_batches(epoch)
             else:
                 step_fn = train_step
                 # No drop_last even on a mesh: indivisible batches (including

@@ -1,0 +1,105 @@
+"""AOT executable disk cache (parallel/aot_cache.py): save on first
+compile, load (skipping compilation) on the second, fall back cleanly on
+corrupt blobs, and key on program content."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_depth_estimation_tpu.parallel.aot_cache import (
+    compile_with_disk_cache,
+)
+
+
+def _fn(x):
+    return jnp.sin(x) @ x.T + 1.0
+
+
+def test_save_then_load_round_trip(tmp_path: Path) -> None:
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 16)), jnp.float32)
+    jitted = jax.jit(_fn)
+    compiled1, source1 = compile_with_disk_cache(jitted, tmp_path, x)
+    assert source1 in ("compiled", "compiled-unsaved")
+    want = np.asarray(compiled1(x))
+
+    if source1 == "compiled-unsaved":
+        # Backend refuses serialisation; nothing further to assert here.
+        return
+    blobs = list(tmp_path.glob("aot_*.bin"))
+    assert len(blobs) == 1
+
+    compiled2, source2 = compile_with_disk_cache(jax.jit(_fn), tmp_path, x)
+    assert source2 == "aot-cache"
+    np.testing.assert_allclose(np.asarray(compiled2(x)), want, rtol=1e-6)
+
+
+def test_corrupt_blob_falls_back_to_compile(tmp_path: Path) -> None:
+    x = jnp.ones((8, 8), jnp.float32)
+    _, source1 = compile_with_disk_cache(jax.jit(_fn), tmp_path, x)
+    if source1 != "compiled":
+        return
+    blob = next(tmp_path.glob("aot_*.bin"))
+    blob.write_bytes(b"not a pickle")
+    compiled, source = compile_with_disk_cache(jax.jit(_fn), tmp_path, x)
+    assert source == "compiled"  # recompiled AND re-saved
+    np.testing.assert_allclose(
+        np.asarray(compiled(x)), np.asarray(_fn(x)), rtol=1e-6
+    )
+
+
+def test_mesh_sharded_donated_program_round_trips(tmp_path: Path) -> None:
+    """The real consumer is the donated, mesh-sharded train step: a loaded
+    executable must accept the same sharded inputs and produce identical
+    results."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stereo_depth_estimation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4])
+    sharding = NamedSharding(mesh, P("data"))
+
+    def step(state, batch):
+        return state + jnp.sum(batch, axis=0), jnp.mean(batch * state)
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+    state = jax.device_put(jnp.zeros((16,), jnp.float32),
+                           NamedSharding(mesh, P()))
+    batch = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).normal(size=(8, 16)), jnp.float32),
+        sharding,
+    )
+    compiled1, source1 = compile_with_disk_cache(jitted, tmp_path, state, batch)
+    want_state, want_val = compiled1(state, batch)
+    if source1 != "compiled":
+        return
+    state2 = jax.device_put(jnp.zeros((16,), jnp.float32),
+                            NamedSharding(mesh, P()))
+    compiled2, source2 = compile_with_disk_cache(
+        jax.jit(step, donate_argnums=(0,)), tmp_path, state2, batch
+    )
+    assert source2 == "aot-cache"
+    got_state, got_val = compiled2(state2, batch)
+    np.testing.assert_allclose(
+        np.asarray(got_state), np.asarray(want_state), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_val), np.asarray(want_val), rtol=1e-6
+    )
+
+
+def test_distinct_programs_get_distinct_keys(tmp_path: Path) -> None:
+    x = jnp.ones((8, 8), jnp.float32)
+    _, s1 = compile_with_disk_cache(jax.jit(_fn), tmp_path, x)
+    _, s2 = compile_with_disk_cache(
+        jax.jit(lambda x: jnp.cos(x) * 2.0), tmp_path, x
+    )
+    if "unsaved" in (s1, s2):
+        return
+    assert len(list(tmp_path.glob("aot_*.bin"))) == 2
+    # Different shape -> different program -> third key.
+    _, _ = compile_with_disk_cache(
+        jax.jit(_fn), tmp_path, jnp.ones((4, 4), jnp.float32)
+    )
+    assert len(list(tmp_path.glob("aot_*.bin"))) == 3

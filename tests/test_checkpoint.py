@@ -152,6 +152,84 @@ def test_preview_montage(tmp_path: Path) -> None:
     assert n.shape == (4, 4, 3)
 
 
+def test_trained_export_fullres_epe_parity(tmp_path: Path) -> None:
+    """Post-TRAINING export parity at full resolution: run real train steps
+    (so BatchNorm running stats and every kernel hold trained values, not
+    init), export to reference-format .pt, load it into the torch-spec
+    model, and hold the same EPE <= 1e-3 full-res gate as
+    test_parity_fullres.py — covering the convT spatial flip and BN stats
+    under trained weights (round-4 extension of the init-weights gate)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    from stereo_depth_estimation_tpu.parallel.train_step import make_train_step
+    from stereo_depth_estimation_tpu.training.export import (
+        build_parser,
+        export_checkpoint,
+    )
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_model import _make_torch_model
+
+    full_hw = (240, 320)
+    train_hw = (96, 128)  # fully-convolutional: train cheap, gate full-res
+    fmodel = StereoUNet()  # base_channels=32: the reference-spec size
+    tx = make_adamw(1e-3, 1e-4)
+    state = create_train_state(fmodel, jax.random.key(3), train_hw, tx)
+    step = make_train_step(fmodel, tx)
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        batch = {
+            "input": rng.integers(
+                0, 256, (2, *train_hw, 6), dtype=np.uint8
+            ),
+            "target": rng.uniform(0.5, 40.0, (2, *train_hw)).astype(
+                np.float32
+            ),
+        }
+        state, stats = step(state, batch)
+    assert np.isfinite(float(stats.nll_sum))
+    # BN running stats must actually have moved off their init.
+    bn_means = jax.tree.leaves(
+        jax.tree.map(lambda x: float(np.abs(np.asarray(x)).max()),
+                     state.batch_stats)
+    )
+    assert max(bn_means) > 0.0
+
+    ckpt = save_checkpoint(
+        tmp_path, "last", state, epoch=1, config={}, metrics={}
+    )
+    out_pt = tmp_path / "trained.pt"
+    export_checkpoint(build_parser().parse_args([
+        "--checkpoint", str(ckpt), "--base-channels", "32",
+        "--out", str(out_pt),
+    ]))
+
+    tmodel = _make_torch_model(base=32)
+    payload = torch.load(out_pt, weights_only=False)
+    missing, unexpected = tmodel.load_state_dict(
+        payload["model_state_dict"], strict=False
+    )
+    assert [k for k in missing if "num_batches_tracked" not in k] == []
+    assert unexpected == []
+    tmodel.eval()
+
+    x = rng.uniform(0.0, 1.0, (1, *full_hw, 6)).astype(np.float32)
+    with torch.inference_mode():
+        t_disp, t_lv = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+    import jax.numpy as jnp
+
+    with jax.default_matmul_precision("highest"):
+        f_disp, f_lv = fmodel.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=False, return_uncertainty=True,
+        )
+    disp_err = np.abs(np.asarray(f_disp)[..., 0] - t_disp.numpy()[:, 0])
+    lv_err = np.abs(np.asarray(f_lv)[..., 0] - t_lv.numpy()[:, 0])
+    assert disp_err.mean() < 1e-3, f"disparity EPE {disp_err.mean():.2e}"
+    assert lv_err.mean() < 1e-3, f"logvar EPE {lv_err.mean():.2e}"
+
+
 def test_export_cli_round_trips_through_reference_format(
     state_and_model, tmp_path: Path
 ) -> None:

@@ -90,6 +90,72 @@ def test_train_end_to_end(dataset_root: Path) -> None:
     assert "train_mae" in meta["metrics"]
 
 
+def test_init_checkpoint_starts_from_torch_weights(
+    dataset_root: Path, tmp_path: Path
+) -> None:
+    """--init-checkpoint <ref .pt> starts training from the reference
+    model's exact weights (fresh optimizer): with lr=0 the trained 'last'
+    checkpoint's params equal the transferred torch weights bit-for-bit."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_model import _make_torch_model
+
+    from stereo_depth_estimation_tpu.models import StereoUNet
+    from stereo_depth_estimation_tpu.models.compat import load_torch_state_dict
+    from stereo_depth_estimation_tpu.training.checkpoint import (
+        load_model_variables,
+    )
+
+    torch.manual_seed(7)
+    tmodel = _make_torch_model(base=8)
+    pt_path = tmp_path / "ref_init.pt"
+    torch.save({"model_state_dict": tmodel.state_dict(), "epoch": 0}, pt_path)
+
+    cfg = _config(
+        dataset_root,
+        epochs=1,
+        lr=0.0,
+        init_checkpoint=str(pt_path),
+        output_dir=str(tmp_path / "out"),
+        mlflow_tracking_uri=str(tmp_path / "trk"),
+        preview_samples=0,
+    )
+    summary = train(cfg)
+
+    model = StereoUNet(base_channels=8)
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 6)), train=False,
+        return_uncertainty=True,
+    )
+    expected, missing, unexpected = load_torch_state_dict(
+        template, tmodel.state_dict()
+    )
+    assert missing == [] and unexpected == []
+    last = (
+        Path(cfg.output_dir) / summary["run_id"] / "checkpoints" / "last"
+    )
+    restored, _meta = load_model_variables(last, template)
+    for path, got in jax.tree_util.tree_leaves_with_path(restored["params"]):
+        want = expected["params"]
+        for key in path:
+            want = want[key.key]
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=str(path)
+        )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        train(_config(
+            dataset_root,
+            init_checkpoint=str(pt_path),
+            resume=str(last),
+        ))
+
+
 def test_resume_continues_from_checkpoint(dataset_root: Path, tmp_path: Path) -> None:
     cfg = _config(
         dataset_root,
