@@ -127,6 +127,64 @@ def compile_with_disk_cache(
     return compiled, "compiled"
 
 
+def lazy_aot_wrap(
+    jitted: Callable[..., Any],
+    cache_dir: str | Path,
+    label: str = "step",
+    verbose: bool = False,
+) -> Callable[..., Any]:
+    """Wrap a jitted function with the executable disk cache, lazily.
+
+    The first call lowers against the ACTUAL runtime arguments (so shapes,
+    dtypes, and mesh shardings are exactly the production ones) and loads or
+    compiles-and-saves the executable; subsequent calls with the same
+    argument avals go straight to it. Calls with different avals (e.g. a
+    shorter validation tail batch) fall through to the original jitted
+    function, as does any cache failure — the wrapper can only ever save
+    time, never change behaviour.
+    """
+    import time
+
+    import jax
+
+    state: dict[str, Any] = {"compiled": None, "sig": None, "failed": False}
+
+    def _sig(args: tuple, kwargs: dict) -> tuple:
+        return tuple(
+            (x.shape, str(x.dtype))
+            if hasattr(x, "shape") and hasattr(x, "dtype")
+            else type(x).__name__
+            for x in jax.tree.leaves((args, kwargs))
+        )
+
+    def call(*args: Any, **kwargs: Any) -> Any:
+        if state["failed"]:
+            return jitted(*args, **kwargs)
+        sig = _sig(args, kwargs)
+        if state["compiled"] is None:
+            try:
+                t0 = time.perf_counter()
+                compiled, source = compile_with_disk_cache(
+                    jitted, cache_dir, *args, verbose=verbose, **kwargs
+                )
+                state["compiled"], state["sig"] = compiled, sig
+                if verbose:
+                    print(
+                        f"[aot_cache] {label} ready in "
+                        f"{time.perf_counter() - t0:.1f}s ({source})"
+                    )
+            except Exception as exc:
+                state["failed"] = True
+                if verbose:
+                    print(f"[aot_cache] {label}: disabled ({exc!r})")
+                return jitted(*args, **kwargs)
+        if sig == state["sig"]:
+            return state["compiled"](*args, **kwargs)
+        return jitted(*args, **kwargs)
+
+    return call
+
+
 def _device_assignment_ids(compiled: Any) -> list[int] | None:
     """Device ids the executable was compiled for (best effort)."""
     try:
@@ -135,4 +193,4 @@ def _device_assignment_ids(compiled: Any) -> list[int] | None:
         return None
 
 
-__all__ = ["compile_with_disk_cache"]
+__all__ = ["compile_with_disk_cache", "lazy_aot_wrap"]

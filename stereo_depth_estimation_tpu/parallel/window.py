@@ -206,6 +206,7 @@ class HBMWindowLoader:
         self._fetch = fetch
         self._mesh = mesh
         self._seed = seed
+        self._n = n
         self._prefetch = prefetch
         self._sharding = window_sharding(mesh)
         data_degree = dict(mesh.shape)[DATA_AXIS]
@@ -236,7 +237,9 @@ class HBMWindowLoader:
         last window wrap-fills from the permutation's head (static shapes
         for the compiler; every sample appears in exactly one window)."""
         rng = np.random.default_rng((self._seed, 17, epoch))
-        perm = rng.permutation(self.plan.n) % max(self.plan.n, 1)
+        # plan.n is the data-axis-padded count; fetch indexes the REAL
+        # store, so padded rows wrap onto the head samples (mod real n).
+        perm = rng.permutation(self.plan.n) % max(self._n, 1)
         windows = []
         ws = self.plan.window_samples
         for w in range(self.plan.num_windows):

@@ -63,6 +63,12 @@ class TrainConfig:
     # value x mesh devices): the packed set pins when it fits, else rotates
     # double-buffered epoch windows through HBM (parallel/window.py).
     hbm_window_gb: float = 4.0
+    # AOT executable disk cache (parallel/aot_cache.py): repeat runs of the
+    # same config skip the ~90-215 s per-process XLA recompile (this
+    # platform's persistent-cache keys don't transfer across processes —
+    # docs/PERF.md). "auto" = <output-dir>/.aot_cache; "off" disables;
+    # anything else is an explicit cache directory. Single-process only.
+    aot_cache: str = "auto"
     resume: str | None = None  # checkpoint dir to resume from (superset of ref)
     # Start from an existing model's weights (orbax dir or reference-format
     # .pt): params+batch_stats only, fresh optimizer/epoch counter. Distinct
@@ -176,6 +182,11 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
         help="Per-device HBM budget (GB) for device-resident windows; the "
              "packed set pins when it fits, else rotates double-buffered "
              "epoch windows through device memory.")
+    add("--aot-cache", type=str, default=defaults.aot_cache, dest="aot_cache",
+        help="AOT executable disk cache: 'auto' (default, under --output-dir)"
+             " caches compiled train/eval executables so repeat runs of the "
+             "same config skip the per-process XLA recompile; 'off' disables;"
+             " or an explicit directory.")
     add("--resume", type=str, default=None,
         help="Checkpoint directory to resume training from.")
     add("--init-checkpoint", type=str, default=None, dest="init_checkpoint",

@@ -445,6 +445,25 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
 
     train_step = make_train_step(model, tx, augment_config_from(cfg))
     eval_step = make_eval_step(model)
+    if cfg.aot_cache != "off" and jax.process_count() == 1:
+        # Executable disk cache (parallel/aot_cache.py): repeat runs of the
+        # same config skip the ~90-215 s per-process XLA recompile. Lazily
+        # lowered against the first real (state, batch), so shapes/shardings
+        # are exactly the production ones; off-aval calls (e.g. a short
+        # validation tail batch) fall through to the normal jit.
+        from ..parallel.aot_cache import lazy_aot_wrap
+
+        aot_dir = (
+            Path(cfg.output_dir).expanduser().resolve() / ".aot_cache"
+            if cfg.aot_cache == "auto"
+            else Path(cfg.aot_cache)
+        )
+        train_step = lazy_aot_wrap(
+            train_step, aot_dir, label="train step", verbose=main_process
+        )
+        eval_step = lazy_aot_wrap(
+            eval_step, aot_dir, label="eval step", verbose=main_process
+        )
     predict = make_predict_fn(model)
 
     # Device-resident fast path, HBM-windowed (parallel/window.py): the

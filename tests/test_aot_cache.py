@@ -103,3 +103,47 @@ def test_distinct_programs_get_distinct_keys(tmp_path: Path) -> None:
         jax.jit(_fn), tmp_path, jnp.ones((4, 4), jnp.float32)
     )
     assert len(list(tmp_path.glob("aot_*.bin"))) == 3
+
+
+def test_lazy_aot_wrap_matches_jit_and_handles_off_avals(tmp_path: Path) -> None:
+    """The trainer's lazy wrapper: first call compiles through the disk
+    cache against the real args; same-aval calls reuse the executable;
+    off-aval calls (validation tail batches) fall through to the jit."""
+    from stereo_depth_estimation_tpu.parallel.aot_cache import lazy_aot_wrap
+
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape)
+        return jnp.tanh(x) * 2.0
+
+    wrapped = lazy_aot_wrap(jax.jit(fn), tmp_path, label="t")
+    full = jnp.ones((8, 4), jnp.float32)
+    tail = jnp.ones((3, 4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(wrapped(full)), np.asarray(np.tanh(np.ones((8, 4))) * 2.0),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(wrapped(full)), np.asarray(wrapped(full)))
+    # Off-aval tail batch still works (through the jit).
+    assert wrapped(tail).shape == (3, 4)
+
+
+def test_lazy_aot_wrap_cross_instance_reuse(tmp_path: Path) -> None:
+    """A second wrapper over a fresh jit of the same program (a 'new
+    process' stand-in) must load the saved executable instead of
+    recompiling, and agree numerically."""
+    from stereo_depth_estimation_tpu.parallel.aot_cache import (
+        compile_with_disk_cache,
+        lazy_aot_wrap,
+    )
+
+    x = jnp.full((6, 6), 0.5, jnp.float32)
+    w1 = lazy_aot_wrap(jax.jit(_fn), tmp_path, label="a")
+    want = np.asarray(w1(x))
+    if not list(tmp_path.glob("aot_*.bin")):
+        return  # backend would not serialise; nothing to assert
+    _, source = compile_with_disk_cache(jax.jit(_fn), tmp_path, x)
+    assert source == "aot-cache"
+    w2 = lazy_aot_wrap(jax.jit(_fn), tmp_path, label="b")
+    np.testing.assert_allclose(np.asarray(w2(x)), want, rtol=1e-6)

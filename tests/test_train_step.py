@@ -363,3 +363,59 @@ def test_fused_dispatch_matches_two_dispatch() -> None:
         s0.params,
         s1.params,
     )
+
+
+def test_flat_adamw_matches_optax() -> None:
+    """parallel/flat_adamw.py is element-for-element optax.adamw: after
+    several real train steps from identical init on identical batches, the
+    parameter trajectories agree to float32 roundoff. (The flat variant
+    exists to collapse ~100 leaf-wise optimizer fusions into one pass —
+    docs/PERF.md round-4 knob table.)"""
+    from stereo_depth_estimation_tpu.parallel.flat_adamw import flat_adamw
+
+    rng = np.random.default_rng(11)
+    batch = {k: jnp.asarray(v) for k, v in _synthetic_batch(rng, 8).items()}
+    model = StereoUNet(base_channels=4)
+    results = []
+    for tx in (make_adamw(1e-3, 1e-4), flat_adamw(1e-3, 1e-4)):
+        state = create_train_state(model, jax.random.key(5), HW, tx)
+        step = make_train_step(model, tx)
+        for _ in range(5):
+            state, stats = step(state, batch)
+        results.append((state.params, metrics_from_stats(stats)["loss"]))
+
+    (p_ref, loss_ref), (p_flat, loss_flat) = results
+    np.testing.assert_allclose(loss_flat, loss_ref, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7
+        ),
+        p_ref,
+        p_flat,
+    )
+
+
+def test_flat_adamw_zero_valid_batch_is_noop() -> None:
+    """The zero-valid-pixel batch guard (reference train.py:330-332) must
+    hold under the flat optimizer state too: params, moments, and count all
+    stay put when the batch has no valid pixels."""
+    from stereo_depth_estimation_tpu.parallel.flat_adamw import flat_adamw
+
+    rng = np.random.default_rng(12)
+    batch = _synthetic_batch(rng, 4)
+    batch["target"] = np.zeros_like(batch["target"])  # all invalid
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = StereoUNet(base_channels=4)
+    tx = flat_adamw(1e-3, 1e-4)
+    state = create_train_state(model, jax.random.key(6), HW, tx)
+    # Snapshot before stepping: the step donates its input state's buffers.
+    params_before = jax.tree.map(np.asarray, state.params)
+    step = make_train_step(model, tx)
+    new_state, stats = step(state, batch)
+    assert float(stats.valid_count) == 0.0
+    assert int(new_state.opt_state.count) == 0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        params_before,
+        new_state.params,
+    )

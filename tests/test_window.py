@@ -247,3 +247,22 @@ def test_trainer_rotating_windows(tmp_path: Path) -> None:
     # 12 train samples -> 3 windows x 1 step per epoch.
     assert summary["global_step"] == 2 * 3
     assert np.isfinite(summary["best_val_mae"])
+
+
+def test_rotating_with_indivisible_sample_count() -> None:
+    """n not divisible by the data axis: the padded permutation must wrap
+    onto REAL sample indices before hitting the packed-cache fetch
+    (regression: the wrap used the padded count, letting index n reach the
+    memmap and raise IndexError)."""
+    n = 41  # padded to 42 on a 2-wide data axis
+    _, _, fetch = _make_payload(n)
+    mesh = make_mesh(jax.devices()[:2])
+    loader = HBMWindowLoader(
+        fetch, n, batch_size=6, mesh=mesh,
+        bytes_per_sample=BYTES_PER_SAMPLE,
+        budget_bytes=2 * 18 * BYTES_PER_SAMPLE, seed=5,
+    )
+    assert not loader.plan.pinned
+    ids = _collect_epoch_sample_ids(loader, epoch=0)
+    assert max(ids) < n and min(ids) >= 0
+    assert set(ids) == set(range(n))  # every real sample still appears
