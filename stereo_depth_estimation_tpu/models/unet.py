@@ -486,6 +486,15 @@ class StereoUNet(nn.Module):
                 name=name,
             )(v)
 
+        h, w = x.shape[-3], x.shape[-2]
+        if h % 16 or w % 16:
+            # Same structural constraint as the reference model (4 pool/up
+            # levels); surfaced here instead of as a cryptic decoder concat
+            # shape error.
+            raise ValueError(
+                f"StereoUNet input height/width must be divisible by 16 "
+                f"(4 pool levels); got {h}x{w}."
+            )
         x = x.astype(dt)
 
         block_cls = ConvBlock
