@@ -66,7 +66,12 @@ def compile_with_disk_cache(
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
     lowered = jitted.lower(*args, **kwargs)
-    path = cache_dir / f"aot_{_digest(lowered)}.bin"
+    digest = _digest(lowered)
+    path = cache_dir / f"aot_{digest}.bin"
+    if os.environ.get("SDE_AOT_DEBUG"):
+        # Key-stability debugging: persist the digested text so two
+        # processes' keys can be diffed when a supposed repeat run misses.
+        (cache_dir / f"aot_{digest}.hlo.txt").write_text(lowered.as_text())
 
     if path.exists():
         try:
