@@ -66,17 +66,21 @@ def is_main_process() -> bool:
 
 
 class MultihostBatcher:
-    """Per-host stripe feeding for a global data-parallel batch.
+    """Per-host feeding for a global (possibly 2-D-sharded) batch.
 
     Callable like a fetch function, but takes the GLOBAL index list of a
     batch and returns a global jax.Array batch:
 
-    1. pad the index list (wrapping) to a multiple of the mesh size, so the
-       batch axis shards evenly — padded rows get ``valid_mask=False`` and
-       therefore contribute nothing to masked losses/metrics;
-    2. slice this host's contiguous stripe and decode only those samples;
-    3. assemble the global arrays with
-       ``jax.make_array_from_process_local_data``.
+    1. pad the index list (wrapping) to a multiple of the data-axis size, so
+       the batch axis shards evenly — padded rows get ``valid_mask=False``
+       and therefore contribute nothing to masked losses/metrics;
+    2. decode only the samples this host's devices own;
+    3. assemble the global arrays — contiguous per-process stripes via
+       ``jax.make_array_from_process_local_data`` on a pure-DP mesh, or
+       per-device (batch x height) blocks via
+       ``jax.make_array_from_single_device_arrays`` on a
+       ``(data, spatial)`` mesh, where a process's devices may own partial
+       image heights (tests/test_multihost_spatial.py).
     """
 
     def __init__(
@@ -87,20 +91,15 @@ class MultihostBatcher:
     ) -> None:
         from .mesh import SPATIAL_AXIS, batch_sharding
 
-        if SPATIAL_AXIS in mesh.axis_names:
-            raise NotImplementedError(
-                "multihost + spatial sharding is not supported yet: per-host "
-                "stripe feeding assumes each process addresses full-height "
-                "batch rows. Use spatial sharding single-host, or plain DP "
-                "multihost."
-            )
         self.fetch = fetch
         self.mesh = mesh
+        self.axis_name = axis_name
+        self.spatial = SPATIAL_AXIS in mesh.axis_names
         self.n_data = dict(mesh.shape)[axis_name]
         self.sharding = batch_sharding(mesh, axis_name)
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
-        if self.n_data % self.process_count != 0:
+        if not self.spatial and self.n_data % self.process_count != 0:
             raise ValueError(
                 f"batch ('data') mesh axis of {self.n_data} does not divide "
                 f"across {self.process_count} processes"
@@ -115,6 +114,8 @@ class MultihostBatcher:
         padded = global_indices[np.arange(n + pad) % n]
         is_real = np.ones(len(padded), bool)
         is_real[n:] = False
+        if self.spatial:
+            return self._assemble_per_device(padded, is_real)
 
         stripe = len(padded) // self.process_count
         lo = self.process_index * stripe
@@ -132,3 +133,60 @@ class MultihostBatcher:
             )
             for key, value in local.items()
         }
+
+    def _assemble_per_device(
+        self, padded: np.ndarray, is_real: np.ndarray
+    ) -> dict[str, jax.Array]:
+        """General multihost feeding: one explicit block per local device.
+
+        On a ``(data, spatial)`` mesh every device owns a
+        (batch-stripe x height-stripe) BLOCK, and a process's devices need
+        not cover full image height (device->process assignment is the
+        runtime's, not ours), so contiguous per-process batch stripes can't
+        express the local contribution. Instead: decode each batch row at
+        most once per host (the union of rows this host's devices touch —
+        full images, since fetch is row-granular), slice each device's
+        (rows, height) block out, and assemble the global array with
+        ``jax.make_array_from_single_device_arrays``. Host work stays
+        proportional to the rows this host feeds; H2D bytes are exactly one
+        copy of each locally-owned block."""
+        global_n = len(padded)
+        # Which batch rows do this host's devices own? Determined by the
+        # 'data'-axis placement alone, so probe with a rank-1 sharding.
+        row_map = NamedSharding(self.mesh, P(self.axis_name)).devices_indices_map(
+            (global_n,)
+        )
+        local_devices = [
+            d for d in row_map if d.process_index == self.process_index
+        ]
+        rows = sorted(
+            {
+                r
+                for d in local_devices
+                for r in range(*row_map[d][0].indices(global_n))
+            }
+        )
+        position = {row: i for i, row in enumerate(rows)}
+
+        local = self.fetch(padded[rows])
+        target = np.asarray(local["target"])
+        mask = (target > 0.0) & is_real[rows, None, None]
+        local = {**local, "valid_mask": mask}
+
+        out: dict[str, jax.Array] = {}
+        for key, value in local.items():
+            value = np.asarray(value)
+            global_shape = (global_n, *value.shape[1:])
+            shard_map = self.sharding.devices_indices_map(global_shape)
+            shards = []
+            for device in local_devices:
+                index = shard_map[device]
+                batch_rows = [
+                    position[r] for r in range(*index[0].indices(global_n))
+                ]
+                block = value[batch_rows][(slice(None), *index[1:])]
+                shards.append(jax.device_put(block, device))
+            out[key] = jax.make_array_from_single_device_arrays(
+                global_shape, self.sharding, shards
+            )
+        return out
