@@ -30,7 +30,11 @@ timed out, BENCH_r01.json rc=124):
   and a best-of headline would overstate sustained rate,
 - the streamed metric times the production packed-cache -> prefetch ->
   step path and carries an H2D bandwidth probe, because on a tunneled
-  transport it is transport-bound (docs/PERF.md).
+  transport it is transport-bound (docs/PERF.md),
+- when the session's time budget allows, the default run appends a
+  fast-mode sub-measurement (96x128 batch 256 — the documented
+  math-changing config, docs/PERF.md "Fast mode") so the JSON carries
+  both the exact-parity headline and the past-the-target fast number.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N/5000}
@@ -62,15 +66,6 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-
-    from stereo_depth_estimation_tpu.models import StereoUNet
-    from stereo_depth_estimation_tpu.ops.augment import AugmentConfig
-    from stereo_depth_estimation_tpu.parallel import create_train_state, make_adamw
-    from stereo_depth_estimation_tpu.parallel.train_step import (
-        make_device_data_train_step,
-        make_train_step,
-    )
 
     import argparse
 
@@ -87,6 +82,9 @@ def main() -> None:
                              "recorded in docs/PERF.md 'Fast mode'; the "
                              "default config is the exact-parity one.")
     parser.add_argument("--skip-streamed", action="store_true")
+    parser.add_argument("--skip-fast", action="store_true",
+                        help="skip the fast-mode sub-measurement the default "
+                             "run appends when time allows")
     args = parser.parse_args()
     if args.fast:
         args.height, args.width = 96, 128
@@ -97,6 +95,88 @@ def main() -> None:
     n_samples = 1024
 
     _log(f"devices: {jax.devices()}")
+
+    result = measure_device_resident(hw, batch_size, n_samples, cache_dir)
+
+    # Fast mode (docs/PERF.md): the one documented math-changing config
+    # (96x128, batch 256, disparity rescaling exactly with width; val-MAE
+    # cost recorded in docs/CONVERGENCE.md §3). Measured in the SAME run so
+    # the bench JSON always carries both the exact-parity headline and the
+    # past-the-target fast number. Runs BEFORE the streamed phases: those
+    # cross the host boundary every step and are where the platform's
+    # intermittent multi-minute RPC hangs land (docs/PERF.md), so they go
+    # last, where a stall can only cost the least-important numbers. The
+    # budget guard protects the driver's timeout; round 1 died rc=124 to
+    # exactly that.
+    fast: dict[str, object] = {}
+    if (
+        not args.skip_fast
+        and hw == (240, 320)
+        and time.perf_counter() - _T0 < 420.0
+    ):
+        f = measure_device_resident((96, 128), 256, n_samples, cache_dir,
+                                    tag="fast ")
+        fast = {
+            "fast_mode_pairs_per_sec": round(f["median"], 1),
+            "fast_mode_batch_size": 256,
+            "fast_mode_window_pairs_per_sec": f["windows"],
+            "fast_mode_compile_seconds": f["compile_seconds"],
+        }
+    elif not args.skip_fast and hw == (240, 320):
+        _log("fast-mode sub-measurement skipped: time budget exceeded")
+
+    streamed = (
+        {} if args.skip_streamed
+        else bench_streamed_path(
+            result["state"], result["inner_step"], batch_size, hw, n_samples
+        )
+    )
+
+    metric = "stereo_pairs_per_sec_per_chip_320x240_e2e"
+    if hw != (240, 320):
+        metric = f"stereo_pairs_per_sec_per_chip_{hw[1]}x{hw[0]}_fastmode_e2e"
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(result["median"], 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(result["median"] / BASELINE_PAIRS_PER_SEC, 3),
+                "best_window_pairs_per_sec": result["best"],
+                "batch_size": batch_size,
+                "compile_seconds": result["compile_seconds"],
+                "step_program_source": result["step_source"],
+                "steps_per_window": result["steps_per_window"],
+                "window_pairs_per_sec": result["windows"],
+                **fast,
+                **streamed,
+            }
+        )
+    )
+
+
+def measure_device_resident(
+    hw, batch_size: int, n_samples: int, cache_dir: str, tag: str = ""
+) -> dict:
+    """Device-resident throughput of one (hw, batch) config: synthetic
+    packed payload generated in HBM, AOT-cached step, median of 4 synced
+    windows (first window discarded as server-side warmup)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_depth_estimation_tpu.models import StereoUNet
+    from stereo_depth_estimation_tpu.ops.augment import AugmentConfig
+    from stereo_depth_estimation_tpu.parallel import (
+        create_train_state,
+        make_adamw,
+    )
+    from stereo_depth_estimation_tpu.parallel.aot_cache import (
+        compile_with_disk_cache,
+    )
+    from stereo_depth_estimation_tpu.parallel.train_step import (
+        make_device_data_train_step,
+        make_train_step,
+    )
 
     # Synthetic packed-cache payload, generated directly in HBM.
     @jax.jit
@@ -113,7 +193,7 @@ def main() -> None:
     t = time.perf_counter()
     images_dev, targets_dev = gen_payload(jax.random.key(0))
     jax.block_until_ready(images_dev)
-    _log(f"payload generated on device in {time.perf_counter() - t:.1f}s "
+    _log(f"{tag}payload generated on device in {time.perf_counter() - t:.1f}s "
          f"({images_dev.nbytes / 1e6:.0f} MB images)")
 
     model = StereoUNet(compute_dtype=jnp.bfloat16)
@@ -124,7 +204,8 @@ def main() -> None:
         jax.random.key(0)
     )
     jax.block_until_ready(state.params)
-    _log(f"train state initialised (jitted) in {time.perf_counter() - t:.1f}s")
+    _log(f"{tag}train state initialised (jitted) in "
+         f"{time.perf_counter() - t:.1f}s")
 
     # One compiled step program serves both measurements: the device-resident
     # path wraps it behind an on-device gather, the streamed path feeds it
@@ -134,10 +215,6 @@ def main() -> None:
     # process would otherwise pay the full ~90-215 s XLA compile; loading
     # the serialized executable skips it (only the ~30-40 s per-process
     # server-side execution warmup remains).
-    from stereo_depth_estimation_tpu.parallel.aot_cache import (
-        compile_with_disk_cache,
-    )
-
     jitted_step = make_train_step(model, tx, AugmentConfig())
     example_batch = {
         "input": jnp.zeros((batch_size, *hw, 6), jnp.uint8),
@@ -148,7 +225,7 @@ def main() -> None:
         jitted_step, cache_dir, state, example_batch, verbose=True,
     )
     step_ready_seconds = time.perf_counter() - t
-    _log(f"train step ready in {step_ready_seconds:.1f}s ({step_source})")
+    _log(f"{tag}train step ready in {step_ready_seconds:.1f}s ({step_source})")
     step = make_device_data_train_step(
         model, tx, images_dev, targets_dev, batch_size, AugmentConfig(),
         step_fn=inner_step, aot_cache_dir=cache_dir,
@@ -158,7 +235,7 @@ def main() -> None:
     state, stats = step(state)
     _ = float(np.asarray(stats.nll_sum))  # full sync
     compile_seconds = step_ready_seconds + time.perf_counter() - t
-    _log(f"warmup step done in {compile_seconds:.1f}s total "
+    _log(f"{tag}warmup step done in {compile_seconds:.1f}s total "
          f"(step program: {step_source})")
     # A few post-compile steps to settle the pipeline before timing.
     for _i in range(4):
@@ -183,7 +260,7 @@ def main() -> None:
         _ = float(np.asarray(stats.nll_sum))  # sync: completed work only
         elapsed = time.perf_counter() - start
         rate = window_steps * batch_size / elapsed
-        _log(f"window {window}: {window_steps} steps in {elapsed:.1f}s "
+        _log(f"{tag}window {window}: {window_steps} steps in {elapsed:.1f}s "
              f"= {rate:.1f} pairs/s" + (" (warmup, discarded)" if window == 0 else ""))
         if window > 0:
             window_rates.append(round(rate, 1))
@@ -191,34 +268,16 @@ def main() -> None:
     # Headline = MEDIAN of windows (robust to the platform's intermittent
     # slow-window outliers without overstating sustained rate the way a
     # best-of headline would); the best window is still reported explicitly.
-    pairs_per_sec = float(np.median(window_rates))
-    best_window = max(window_rates)
-
-    streamed = (
-        {} if args.skip_streamed
-        else bench_streamed_path(state, inner_step, batch_size, hw, n_samples)
-    )
-
-    metric = "stereo_pairs_per_sec_per_chip_320x240_e2e"
-    if hw != (240, 320):
-        metric = f"stereo_pairs_per_sec_per_chip_{hw[1]}x{hw[0]}_fastmode_e2e"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(pairs_per_sec, 1),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-                "best_window_pairs_per_sec": round(best_window, 1),
-                "batch_size": batch_size,
-                "compile_seconds": round(compile_seconds, 2),
-                "step_program_source": step_source,
-                "steps_per_window": window_steps,
-                "window_pairs_per_sec": window_rates,
-                **streamed,
-            }
-        )
-    )
+    return {
+        "median": float(np.median(window_rates)),
+        "best": max(window_rates),
+        "windows": window_rates,
+        "compile_seconds": round(compile_seconds, 2),
+        "step_source": step_source,
+        "steps_per_window": window_steps,
+        "state": state,
+        "inner_step": inner_step,
+    }
 
 
 def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
@@ -337,6 +396,14 @@ def bench_windowed(state, step, cache, batch_size, n_samples) -> dict:
         ("windowed_pinned", 4 << 30),
         ("windowed_rotating", (n_samples * bytes_per_sample) // 2),
     ):
+        # These regimes re-cross the host boundary (rotating every epoch),
+        # where the platform's intermittent multi-minute RPC hangs land
+        # (one measured 216 s for an 8-step epoch); past this deadline,
+        # skip rather than risk the driver's overall timeout — the JSON
+        # then simply omits the key.
+        if time.perf_counter() - _T0 > 480.0:
+            _log(f"{label}: skipped, overall time budget exceeded")
+            continue
         loader = HBMWindowLoader(
             cache.gather, n_samples, batch_size, mesh,
             bytes_per_sample=bytes_per_sample, budget_bytes=budget, seed=0,

@@ -61,11 +61,26 @@ def compile_with_disk_cache(
     - ``"compiled-unsaved"`` — compiled now; this backend would not
       serialise (the executable still works, nothing is cached).
     """
+    import jax
     from jax.experimental import serialize_executable
 
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
-    lowered = jitted.lower(*args, **kwargs)
+    # Lower with tracebacks stripped from MLIR locations: Pallas custom-call
+    # payloads otherwise embed the CALLER's source lines (measured: editing
+    # unrelated bench.py lines changed the serialized kernel bytes), which
+    # made the digest miss after any refactor of the calling file. With the
+    # flag off the lowered text is byte-identical across call sites, so the
+    # key depends only on the program itself. Set-and-restore keeps normal
+    # debuggability everywhere else.
+    saved_flag = jax.config.jax_include_full_tracebacks_in_locations
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
+    try:
+        lowered = jitted.lower(*args, **kwargs)
+    finally:
+        jax.config.update(
+            "jax_include_full_tracebacks_in_locations", saved_flag
+        )
     digest = _digest(lowered)
     path = cache_dir / f"aot_{digest}.bin"
     if os.environ.get("SDE_AOT_DEBUG"):

@@ -105,6 +105,27 @@ def test_distinct_programs_get_distinct_keys(tmp_path: Path) -> None:
     assert len(list(tmp_path.glob("aot_*.bin"))) == 3
 
 
+def test_lowering_strips_tracebacks_and_restores_flag(tmp_path: Path) -> None:
+    """compile_with_disk_cache lowers with tracebacks stripped from MLIR
+    locations (Pallas custom-call payloads otherwise embed the CALLER's
+    source lines, so editing the calling file changed the cache key —
+    measured on TPU, docs/PERF.md) and must restore the global flag
+    afterwards, including when lowering raises."""
+    assert jax.config.jax_include_full_tracebacks_in_locations
+    x = jnp.ones((4, 4), jnp.float32)
+    compile_with_disk_cache(jax.jit(_fn), tmp_path, x)
+    assert jax.config.jax_include_full_tracebacks_in_locations
+
+    def bad(x):
+        raise RuntimeError("trace-time failure")
+
+    try:
+        compile_with_disk_cache(jax.jit(bad), tmp_path, x)
+    except RuntimeError:
+        pass
+    assert jax.config.jax_include_full_tracebacks_in_locations
+
+
 def test_lazy_aot_wrap_matches_jit_and_handles_off_avals(tmp_path: Path) -> None:
     """The trainer's lazy wrapper: first call compiles through the disk
     cache against the real args; same-aval calls reuse the executable;
