@@ -295,6 +295,7 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
     import tempfile
 
     import jax
+    import jax.numpy as jnp
 
     from stereo_depth_estimation_tpu.data.packed_cache import (
         PackedCache,
@@ -354,10 +355,18 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
         # MB/s (a tunneled transport) the streamed rate is transport-bound,
         # not framework-bound; at PCIe-class bandwidth the H2D cost is a
         # few ms against a >100 ms step and prefetch hides it entirely.
-        payload = np.zeros((batch_size, *hw, 6), np.uint8)
-        jax.block_until_ready(jax.device_put(payload))  # lazy-init costs out
+        # RANDOM payload, not zeros: a zeros probe measured ~110 MB/s where
+        # real window staging moved at 35-46 MB/s — the tunnel compresses —
+        # so an all-zeros probe overstates the bandwidth training data gets.
+        # Synced by fetching a reduction of the staged buffer:
+        # block_until_ready can return before the transfer completes here.
+        payload = np.random.default_rng(0).integers(
+            0, 256, (batch_size, *hw, 6), dtype=np.uint8
+        )
+        checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
+        _ = int(checksum(jax.device_put(payload)))  # lazy-init costs out
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(payload))
+        _ = int(checksum(jax.device_put(payload)))
         h2d_secs = time.perf_counter() - t0
         h2d_mbps = payload.nbytes / 1e6 / h2d_secs
         _log(f"streamed: H2D probe {h2d_mbps:.1f} MB/s "

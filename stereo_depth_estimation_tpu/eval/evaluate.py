@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "batches shard over the mesh like training.")
     parser.add_argument("--spatial-devices", type=int, default=1,
                         help=">1: shard image height over a 2nd mesh axis.")
+    parser.add_argument("--aot-cache", type=str, default="auto",
+                        help="AOT executable disk cache dir (same mechanism "
+                             "as the trainer's --aot-cache): repeat "
+                             "invocations skip the per-process XLA compile. "
+                             "'auto' = <output-dir>/.aot_cache; 'off' "
+                             "disables.")
     return parser
 
 
@@ -107,6 +113,19 @@ def evaluate(args: argparse.Namespace) -> dict:
     )
     state = replicate_to_mesh(state, mesh)
     eval_step = make_eval_step(model)
+    if args.aot_cache != "off":
+        from ..parallel.aot_cache import lazy_aot_wrap
+
+        aot_dir = (
+            Path(args.output_dir).expanduser() / ".aot_cache"
+            if args.aot_cache == "auto"
+            else Path(args.aot_cache)
+        )
+        # Lowered against the first real sharded (state, batch); a
+        # different-shaped tail batch falls through to the jit.
+        eval_step = lazy_aot_wrap(
+            eval_step, aot_dir, label="eval step", verbose=True
+        )
 
     loader = StereoSampleLoader(
         samples, image_size=(args.height, args.width),

@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="stereo_calib.npz; adds metric depth_m to the "
                              "npz (focal scaled calib->model width, "
                              "baseline from P1/P2 or T).")
+    parser.add_argument("--aot-cache", type=str, default="auto",
+                        help="AOT executable disk cache dir (same mechanism "
+                             "as the trainer's --aot-cache): repeat "
+                             "invocations skip the per-process XLA compile. "
+                             "'auto' = <predictions-dir>/.aot_cache; 'off' "
+                             "disables.")
     return parser
 
 
@@ -210,6 +216,19 @@ def predict(args: argparse.Namespace) -> dict:
     template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
     variables, _meta = load_model_variables(checkpoint_path, template)
     predict_fn = make_predict_fn(model)
+    if args.aot_cache != "off":
+        from ..parallel.aot_cache import lazy_aot_wrap
+
+        aot_dir = (
+            args.predictions_dir / ".aot_cache"
+            if args.aot_cache == "auto"
+            else Path(args.aot_cache)
+        )
+        # Every batch is padded to the static batch shape below, so one
+        # cached executable serves the whole run (and future runs).
+        predict_fn = lazy_aot_wrap(
+            predict_fn, aot_dir, label="predict", verbose=True
+        )
 
     geometry = None
     if args.calibration is not None:

@@ -155,19 +155,21 @@ def lazy_aot_wrap(
 ) -> Callable[..., Any]:
     """Wrap a jitted function with the executable disk cache, lazily.
 
-    The first call lowers against the ACTUAL runtime arguments (so shapes,
-    dtypes, and mesh shardings are exactly the production ones) and loads or
-    compiles-and-saves the executable; subsequent calls with the same
-    argument avals go straight to it. Calls with different avals (e.g. a
-    shorter validation tail batch) fall through to the original jitted
-    function, as does any cache failure — the wrapper can only ever save
-    time, never change behaviour.
+    Each distinct argument signature (shapes/dtypes of the leaves) lowers
+    against its ACTUAL runtime arguments (so shapes, dtypes, and mesh
+    shardings are exactly the production ones) and loads or
+    compiles-and-saves that executable; later calls with a seen signature
+    go straight to it. A validation tail batch therefore gets its OWN
+    cached executable instead of recompiling in every fresh process. Any
+    cache failure falls back to the original jitted function permanently —
+    the wrapper can only ever save time, never change behaviour.
     """
     import time
 
     import jax
 
-    state: dict[str, Any] = {"compiled": None, "sig": None, "failed": False}
+    compiled_by_sig: dict[tuple, Callable[..., Any]] = {}
+    state: dict[str, Any] = {"failed": False}
 
     def _sig(args: tuple, kwargs: dict) -> tuple:
         return tuple(
@@ -181,13 +183,13 @@ def lazy_aot_wrap(
         if state["failed"]:
             return jitted(*args, **kwargs)
         sig = _sig(args, kwargs)
-        if state["compiled"] is None:
+        if sig not in compiled_by_sig:
             try:
                 t0 = time.perf_counter()
                 compiled, source = compile_with_disk_cache(
                     jitted, cache_dir, *args, verbose=verbose, **kwargs
                 )
-                state["compiled"], state["sig"] = compiled, sig
+                compiled_by_sig[sig] = compiled
                 if verbose:
                     print(
                         f"[aot_cache] {label} ready in "
@@ -198,9 +200,7 @@ def lazy_aot_wrap(
                 if verbose:
                     print(f"[aot_cache] {label}: disabled ({exc!r})")
                 return jitted(*args, **kwargs)
-        if sig == state["sig"]:
-            return state["compiled"](*args, **kwargs)
-        return jitted(*args, **kwargs)
+        return compiled_by_sig[sig](*args, **kwargs)
 
     return call
 

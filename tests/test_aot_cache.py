@@ -129,7 +129,8 @@ def test_lowering_strips_tracebacks_and_restores_flag(tmp_path: Path) -> None:
 def test_lazy_aot_wrap_matches_jit_and_handles_off_avals(tmp_path: Path) -> None:
     """The trainer's lazy wrapper: first call compiles through the disk
     cache against the real args; same-aval calls reuse the executable;
-    off-aval calls (validation tail batches) fall through to the jit."""
+    off-aval calls (validation tail batches) get their OWN cached
+    executable."""
     from stereo_depth_estimation_tpu.parallel.aot_cache import lazy_aot_wrap
 
     calls = []
@@ -146,8 +147,13 @@ def test_lazy_aot_wrap_matches_jit_and_handles_off_avals(tmp_path: Path) -> None
         rtol=1e-6,
     )
     np.testing.assert_allclose(np.asarray(wrapped(full)), np.asarray(wrapped(full)))
-    # Off-aval tail batch still works (through the jit).
-    assert wrapped(tail).shape == (3, 4)
+    blobs_after_full = len(list(tmp_path.glob("aot_*.bin")))
+    np.testing.assert_allclose(
+        np.asarray(wrapped(tail)), np.asarray(np.tanh(np.ones((3, 4))) * 2.0),
+        rtol=1e-6,
+    )
+    if blobs_after_full:  # backend serialises -> the tail shape saved too
+        assert len(list(tmp_path.glob("aot_*.bin"))) == blobs_after_full + 1
 
 
 def test_lazy_aot_wrap_cross_instance_reuse(tmp_path: Path) -> None:
