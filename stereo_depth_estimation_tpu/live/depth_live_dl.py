@@ -120,6 +120,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         help="Colormap for disparity visualization.")
     parser.add_argument("--ema-alpha", type=float, default=0.0,
                         help="Optional temporal smoothing in [0,1]; 0 disables.")
+    parser.add_argument("--aot-cache", type=str, default="auto",
+                        help="AOT executable disk cache dir (same mechanism "
+                             "as the trainer's --aot-cache): the viewer's "
+                             "rectify+resize+forward program loads in under "
+                             "a second on relaunch instead of recompiling. "
+                             "'auto' = <output-dir>/.aot_cache; 'off' "
+                             "disables.")
     return parser.parse_args(argv)
 
 
@@ -132,6 +139,7 @@ class LiveDepthEngine:
         rectifier: Rectifier | None,
         device=None,
         base_channels: int = 32,
+        aot_cache: Path | None = None,
     ) -> None:
         self.model = StereoUNet(
             in_channels=6, out_channels=1, base_channels=base_channels
@@ -144,6 +152,17 @@ class LiveDepthEngine:
         self.loaded_epoch = -1
         w, h = model_size
         self._predict = jax.jit(functools.partial(self._forward, hw=(h, w)))
+        if aot_cache is not None:
+            # Executable disk cache (parallel/aot_cache.py): viewer
+            # relaunches load the compiled rectify+resize+forward program
+            # in <1 s instead of paying the per-process XLA compile. The
+            # rectifier maps are closure constants, so a calibration change
+            # keys a different executable automatically.
+            from ..parallel.aot_cache import lazy_aot_wrap
+
+            self._predict = lazy_aot_wrap(
+                self._predict, aot_cache, label="live forward", verbose=True
+            )
 
     def _forward(self, variables, left_u8, right_u8, *, hw):
         """left/right: (H, W, 3) uint8 RGB capture frames -> (disp, logvar) HW."""
@@ -344,7 +363,15 @@ def main(argv: list[str] | None = None) -> None:
     baseline_m = calibration_baseline_m
     depth_enabled = baseline_m is not None and focal_length_px_model is not None
 
-    engine = LiveDepthEngine(model_size, rectifier, base_channels=args.base_channels)
+    aot_dir = (
+        args.output_dir / ".aot_cache"
+        if args.aot_cache == "auto"
+        else (None if args.aot_cache == "off" else Path(args.aot_cache))
+    )
+    engine = LiveDepthEngine(
+        model_size, rectifier, base_channels=args.base_channels,
+        aot_cache=aot_dir,
+    )
     loaded_epoch, uncertainty_available = engine.load_checkpoint(checkpoint_path)
     watcher = (
         CheckpointWatcher(engine, checkpoint_path, args.checkpoint_poll_sec)

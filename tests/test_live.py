@@ -46,7 +46,8 @@ def test_dl_viewer_headless_no_rectify(tmp_path: Path, checkpoint_dir: Path) -> 
     frames = tmp_path / "frames"
     _write_frames(frames, 2)
     out = tmp_path / "out"
-    main([
+    aot = tmp_path / "aot"
+    argv = [
         "--input-dir", str(frames), "--headless",
         "--headless-output", str(out),
         "--checkpoint", str(checkpoint_dir),
@@ -54,13 +55,24 @@ def test_dl_viewer_headless_no_rectify(tmp_path: Path, checkpoint_dir: Path) -> 
         "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
         "--base-channels", "8",
         "--max-frames", "2",
-    ])
+        "--aot-cache", str(aot),
+    ]
+    main(argv)
     assert (out / "depth_00000.png").exists()
     assert (out / "depth_00001.png").exists()
     assert (out / "confidence_00000.png").exists()
     readout = json.loads((out / "readout_00000.json").read_text())
     assert readout["checkpoint_epoch"] == 5
     assert readout["center_disparity"] is None or readout["center_disparity"] >= 0
+    # The forward program's executable was banked; a relaunch loads it and
+    # produces identical frames (cache hit exercised in-process here; the
+    # cross-process load path is covered by tests/test_aot_cache.py).
+    blobs = list(aot.glob("aot_*.bin"))
+    assert blobs, f"live forward executable not banked in {aot}"
+    depth0 = (out / "depth_00000.png").read_bytes()
+    out2 = tmp_path / "out2"
+    main([a if a != str(out) else str(out2) for a in argv])
+    assert (out2 / "depth_00000.png").read_bytes() == depth0
 
 
 def test_dl_viewer_headless_with_rectification_and_depth(
@@ -88,6 +100,7 @@ def test_dl_viewer_headless_with_rectification_and_depth(
         "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
         "--base-channels", "8",
         "--max-frames", "1", "--ema-alpha", "0.5",
+        "--aot-cache", "off",
     ])
     readout = json.loads((out / "readout_00000.json").read_text())
     # depth conversion is enabled (baseline + focal available from calib)
@@ -117,6 +130,7 @@ def test_dl_viewer_size_mismatch_raises(tmp_path: Path, checkpoint_dir: Path) ->
             "--model-width", str(MODEL_HW), "--model-height", str(MODEL_HW),
         "--base-channels", "8",
             "--max-frames", "1",
+            "--aot-cache", "off",
         ])
 
 
