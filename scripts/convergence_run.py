@@ -91,7 +91,16 @@ def run_tpu(args: argparse.Namespace) -> None:
     work = Path(args.workdir)
     data = work / "data"
     hw = (args.height, args.width)
-    if not (data / "synth_meta.json").exists():
+    meta_path = data / "synth_meta.json"
+    if meta_path.exists():
+        existing = json.loads(meta_path.read_text())["samples"]
+        if existing != args.samples:
+            raise SystemExit(
+                f"{data} holds {existing} samples but --samples="
+                f"{args.samples}; pick a fresh --workdir (reusing a "
+                "differently-sized dataset would silently change the run)."
+            )
+    else:
         _log(f"generating {args.samples} samples at 240x320 ...")
         # Data is ALWAYS generated at the reference resolution; fast-mode
         # runs resize on load with exact width-scaled disparity
@@ -117,6 +126,7 @@ def run_tpu(args: argparse.Namespace) -> None:
         mlflow_tracking_uri=f"jsonl://{trk}",
         preview_samples=args.preview_samples,
         num_workers=0,
+        init_checkpoint=args.init_checkpoint,
     )
     _log(f"training base=32 {hw} batch={args.batch_size} "
          f"for {args.epochs} epochs ...")
@@ -140,6 +150,7 @@ def run_tpu(args: argparse.Namespace) -> None:
             "optimizer": "AdamW lr=1e-3 wd=1e-4",
             "dataset": "scripts/make_synth_dataset.py (seed 0)",
             "pipeline": "packed cache + device-resident",
+            "init_checkpoint": args.init_checkpoint,
         },
         "wall_seconds": round(train_seconds, 1),
         "best_epoch": summary["best_epoch"],
@@ -334,6 +345,14 @@ def main() -> None:
                      help="artifact filename suffix, e.g. _fast")
     tpu.add_argument("--preview-samples", type=int, default=4)
     tpu.add_argument("--workdir", type=str, default="/tmp/convergence_tpu")
+    tpu.add_argument(
+        "--init-checkpoint", type=str, default=None,
+        help="Initialise model weights from this checkpoint (orbax dir or "
+             ".pt). Enables progressive-resolution schedules: pretrain at "
+             "fast-mode resolution, then finetune at full resolution "
+             "(the model is fully convolutional, so weights transfer "
+             "across resolutions unchanged).",
+    )
 
     cmp_ = sub.add_parser("compare")
     cmp_.add_argument("--epochs", type=int, default=5)
