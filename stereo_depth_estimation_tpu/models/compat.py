@@ -184,3 +184,47 @@ def export_torch_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarra
             value = np.transpose(value, (3, 2, 0, 1)).copy()
         out[torch_key] = value
     return out
+
+
+def rescale_resolution_transfer(
+    params: Mapping[str, Any], width_ratio: float
+) -> dict[str, Any]:
+    """Adapt trained StereoUNet params to a ``width_ratio``-times wider
+    input resolution.
+
+    Disparity values scale with image width (the reference's own resize
+    semantics, ref dataset.py:207-212), so a model trained at one
+    resolution predicts means that are ``width_ratio``x too small at a
+    wider one, and Laplace scales ``b`` that are ``width_ratio``x too
+    tight. This scales the pre-softplus disparity head by the ratio
+    (exact in softplus's linear region, i.e. wherever disparity is more
+    than ~1 px) and shifts the logvar-head bias by ``log(width_ratio)``
+    (``b' = ratio * b``). Every other leaf is returned untouched — the
+    model is fully convolutional, so the rest transfers as-is.
+
+    Measured effect (docs/CONVERGENCE.md section 4): transferring a
+    fast-mode (96x128) pretrain to 240x320 WITHOUT this stalls at
+    val MAE ~9 for 12+ epochs (the NLL optimizer prefers inflating
+    logvar over re-scaling the mean); WITH it, val MAE falls 5.18 -> 2.56
+    over the same 12 epochs — a level the from-scratch trajectory takes
+    ~60-70 epochs to reach.
+    """
+    import math
+
+    if width_ratio <= 0:
+        raise ValueError(f"width_ratio must be positive, got {width_ratio}")
+    out = _deep_mutable(params)
+    for key in ("disparity_head", "logvar_head"):
+        if key not in out:
+            raise ValueError(
+                f"params has no '{key}' — not StereoUNet params? "
+                f"(top-level keys: {sorted(out)})"
+            )
+    out["disparity_head"] = {
+        k: np.asarray(v) * width_ratio
+        for k, v in out["disparity_head"].items()
+    }
+    out["logvar_head"]["bias"] = np.asarray(
+        out["logvar_head"]["bias"]
+    ) + math.log(width_ratio)
+    return out

@@ -278,3 +278,61 @@ def test_export_cli_round_trips_through_reference_format(
         variables["params"],
         state.params,
     )
+
+
+def test_rescale_resolution_transfer(tmp_path: Path) -> None:
+    """Width-rescaled transfer (models/compat.py): the disparity head's
+    pre-softplus output scales by the width ratio (so predicted disparity
+    scales with it wherever softplus is in its linear region), the logvar
+    bias shifts by log(ratio), and every other leaf is untouched."""
+    import math
+
+    from stereo_depth_estimation_tpu.models.compat import (
+        rescale_resolution_transfer,
+    )
+
+    r = 2.5
+    model = StereoUNet(base_channels=8)
+    state = create_train_state(
+        model, jax.random.key(7), (32, 32), make_adamw(1e-3, 1e-4)
+    )
+    params = jax.device_get(state.params)
+    scaled = rescale_resolution_transfer(params, r)
+
+    np.testing.assert_allclose(
+        scaled["disparity_head"]["kernel"],
+        np.asarray(params["disparity_head"]["kernel"]) * r, rtol=1e-7,
+    )
+    np.testing.assert_allclose(
+        scaled["logvar_head"]["bias"],
+        np.asarray(params["logvar_head"]["bias"]) + math.log(r), rtol=1e-7,
+    )
+    for key in params:
+        if key in ("disparity_head", "logvar_head"):
+            continue
+        orig = jax.tree.leaves(params[key])
+        new = jax.tree.leaves(scaled[key])
+        for a, b in zip(orig, new):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Semantic check through the real forward: wherever the original
+    # disparity is comfortably in softplus's linear region, the rescaled
+    # params predict ~r times the disparity on the SAME input.
+    x = jax.random.uniform(jax.random.key(8), (1, 32, 32, 6))
+    var0 = {"params": params, "batch_stats": state.batch_stats}
+    var1 = {"params": scaled, "batch_stats": state.batch_stats}
+    d0, lv0 = model.apply(var0, x, train=False, return_uncertainty=True)
+    d1, lv1 = model.apply(var1, x, train=False, return_uncertainty=True)
+    d0, d1 = np.asarray(d0), np.asarray(d1)
+    linear = d0 > 2.0
+    if linear.any():
+        np.testing.assert_allclose(d1[linear], d0[linear] * r, rtol=0.06)
+    lv0, lv1 = np.asarray(lv0), np.asarray(lv1)
+    interior = (lv0 > -5.0) & (lv0 < 3.0 - math.log(r) - 0.1)
+    if interior.any():
+        np.testing.assert_allclose(
+            lv1[interior], lv0[interior] + math.log(r), atol=1e-5
+        )
+
+    with pytest.raises(ValueError, match="width_ratio"):
+        rescale_resolution_transfer(params, 0.0)
