@@ -127,6 +127,8 @@ def run_tpu(args: argparse.Namespace) -> None:
         preview_samples=args.preview_samples,
         num_workers=0,
         init_checkpoint=args.init_checkpoint,
+        lr_schedule=args.lr_schedule,
+        lr_warmup_steps=args.lr_warmup_steps,
     )
     _log(f"training base=32 {hw} batch={args.batch_size} "
          f"for {args.epochs} epochs ...")
@@ -148,6 +150,8 @@ def run_tpu(args: argparse.Namespace) -> None:
             "augment": True,
             "compute_dtype": "bfloat16",
             "optimizer": "AdamW lr=1e-3 wd=1e-4",
+            "lr_schedule": args.lr_schedule,
+            "lr_warmup_steps": args.lr_warmup_steps,
             "dataset": "scripts/make_synth_dataset.py (seed 0)",
             "pipeline": "packed cache + device-resident",
             "init_checkpoint": args.init_checkpoint,
@@ -345,6 +349,10 @@ def main() -> None:
                      help="artifact filename suffix, e.g. _fast")
     tpu.add_argument("--preview-samples", type=int, default=4)
     tpu.add_argument("--workdir", type=str, default="/tmp/convergence_tpu")
+    tpu.add_argument("--lr-schedule", type=str, default="constant",
+                     choices=("constant", "cosine"), dest="lr_schedule")
+    tpu.add_argument("--lr-warmup-steps", type=int, default=0,
+                     dest="lr_warmup_steps")
     tpu.add_argument(
         "--init-checkpoint", type=str, default=None,
         help="Initialise model weights from this checkpoint (orbax dir or "

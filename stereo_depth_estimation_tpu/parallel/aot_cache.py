@@ -81,7 +81,14 @@ def compile_with_disk_cache(
         jax.config.update(
             "jax_include_full_tracebacks_in_locations", saved_flag
         )
-    digest = _digest(lowered)
+    # The digest must ALSO cover the input pytree structure: jit prunes
+    # unused args from the lowered module, so two functions can lower to
+    # byte-identical StableHLO while expecting different call pytrees
+    # (measured: the eval step never reads opt_state, so constant-lr
+    # EmptyState and cosine ScaleByScheduleState collided and the loaded
+    # executable rejected the call with a pytree mismatch).
+    in_tree_repr = str(jax.tree.structure((args, kwargs)))
+    digest = _digest(lowered, extra=in_tree_repr)
     path = cache_dir / f"aot_{digest}.bin"
     if os.environ.get("SDE_AOT_DEBUG"):
         # Key-stability debugging: persist the digested text so two

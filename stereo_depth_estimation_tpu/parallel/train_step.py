@@ -42,11 +42,49 @@ class TrainState(flax.struct.PyTreeNode):
     rng: jax.Array
 
 
-def make_adamw(lr: float, weight_decay: float) -> optax.GradientTransformation:
+def make_adamw(
+    lr: float,
+    weight_decay: float,
+    schedule: str = "constant",
+    total_steps: int = 0,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
     """AdamW with torch defaults (b1=0.9, b2=0.999, eps=1e-8), decay on all
-    params — matching reference train.py:578."""
+    params — matching reference train.py:578.
+
+    ``schedule`` is a superset of the reference (which is constant-lr
+    only): ``"cosine"`` decays lr to 0 over ``total_steps`` with an
+    optional linear ``warmup_steps`` ramp. The schedule reads the
+    optimizer's step count inside the compiled program, so every step
+    runs the SAME executable (one AOT cache entry, no per-step
+    recompiles) and checkpoint resume restores the schedule position
+    with the opt state.
+    """
+    if schedule == "constant":
+        learning_rate: float | optax.Schedule = lr
+    elif schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError(
+                "cosine schedule needs total_steps > 0 "
+                f"(got {total_steps})"
+            )
+        if warmup_steps > 0:
+            learning_rate = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr,
+                warmup_steps=warmup_steps,
+                decay_steps=total_steps,
+            )
+        else:
+            learning_rate = optax.cosine_decay_schedule(
+                init_value=lr, decay_steps=total_steps
+            )
+    else:
+        raise ValueError(
+            f"Unknown lr schedule {schedule!r} (constant|cosine)"
+        )
     return optax.adamw(
-        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+        learning_rate=learning_rate,
+        b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay,
     )
 
 

@@ -21,6 +21,10 @@ class TrainConfig:
     batch_size: int = 30
     lr: float = 1e-3
     weight_decay: float = 1e-4
+    # Superset of the reference (constant-lr only, ref train.py:578):
+    # "cosine" decays to 0 over the full run with an optional warmup ramp.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
     num_workers: int = 4
     val_fraction: float = 0.1
     max_samples: int = 0
@@ -103,6 +107,13 @@ def parse_args(argv: list[str] | None = None) -> TrainConfig:
     add("--batch-size", type=int, default=defaults.batch_size, help="Batch size.")
     add("--lr", type=float, default=defaults.lr, help="Learning rate.")
     add("--weight-decay", type=float, default=defaults.weight_decay, help="Weight decay.")
+    add("--lr-schedule", type=str, default=defaults.lr_schedule,
+        choices=("constant", "cosine"), dest="lr_schedule",
+        help="LR schedule (superset; the reference is constant-only). "
+             "cosine decays to 0 over the configured epochs.")
+    add("--lr-warmup-steps", type=int, default=defaults.lr_warmup_steps,
+        dest="lr_warmup_steps",
+        help="Linear warmup steps before the cosine decay (0 = none).")
     add("--num-workers", type=int, default=defaults.num_workers,
         help="Host batch-assembly worker threads.")
     add("--val-fraction", type=float, default=defaults.val_fraction,

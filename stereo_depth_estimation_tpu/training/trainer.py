@@ -122,7 +122,10 @@ def tracking_params(
         "hbm_window_gb": cfg.hbm_window_gb,
         "augment_impl": cfg.augment_impl,
         "input_precision": cfg.input_precision,
+        "lr_schedule": cfg.lr_schedule,
     }
+    if cfg.lr_warmup_steps:
+        params["lr_warmup_steps"] = cfg.lr_warmup_steps
     if cfg.augment:
         params.update(
             brightness_jitter=cfg.brightness_jitter,
@@ -415,7 +418,16 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         base_channels=cfg.base_channels,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
-    tx = make_adamw(cfg.lr, cfg.weight_decay)
+    # Cosine total_steps uses the padded-batch step count (pad-and-mask
+    # keeps every epoch at ceil(n/batch) steps); a resumed run restores the
+    # schedule position with the optimizer's step count.
+    steps_per_epoch = -(-len(train_samples) // cfg.batch_size)
+    tx = make_adamw(
+        cfg.lr, cfg.weight_decay,
+        schedule=cfg.lr_schedule,
+        total_steps=steps_per_epoch * cfg.epochs,
+        warmup_steps=cfg.lr_warmup_steps,
+    )
     state = create_train_state(
         model, jax.random.key(cfg.seed), (cfg.height, cfg.width), tx
     )

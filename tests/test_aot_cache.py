@@ -174,3 +174,35 @@ def test_lazy_aot_wrap_cross_instance_reuse(tmp_path: Path) -> None:
     assert source == "aot-cache"
     w2 = lazy_aot_wrap(jax.jit(_fn), tmp_path, label="b")
     np.testing.assert_allclose(np.asarray(w2(x)), want, rtol=1e-6)
+
+
+def test_digest_distinguishes_input_pytree_of_pruned_args(tmp_path) -> None:
+    """jit prunes unused args from the lowered module, so two call
+    signatures can lower to byte-identical StableHLO while expecting
+    different input pytrees (the trainer's eval step never reads
+    opt_state: constant-lr EmptyState vs cosine ScaleByScheduleState).
+    The digest must separate them or the loaded executable rejects the
+    call with a pytree mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_depth_estimation_tpu.parallel.aot_cache import (
+        compile_with_disk_cache,
+    )
+
+    def fn(x, unused):
+        return x * 2.0
+
+    jitted = jax.jit(fn)
+    x = jnp.arange(4.0)
+    leaf = jnp.zeros((2,))
+    before = len(list(tmp_path.glob("aot_*.bin")))
+    c1, _ = compile_with_disk_cache(jitted, tmp_path, x, {"a": leaf})
+    c2, _ = compile_with_disk_cache(jitted, tmp_path, x, (leaf, leaf))
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(c1(x, {"a": leaf})), np.arange(4.0) * 2)
+    np.testing.assert_array_equal(np.asarray(c2(x, (leaf, leaf))), np.arange(4.0) * 2)
+    blobs = len(list(tmp_path.glob("aot_*.bin"))) - before
+    if blobs:  # backend serialises: the two signatures must not collide
+        assert blobs == 2, "pytree-different signatures shared one cache entry"

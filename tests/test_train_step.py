@@ -419,3 +419,41 @@ def test_flat_adamw_zero_valid_batch_is_noop() -> None:
         params_before,
         new_state.params,
     )
+
+
+def test_make_adamw_lr_schedules() -> None:
+    """Cosine schedule (superset of the reference's constant lr): update
+    magnitude decays to near zero across total_steps, warmup ramps from
+    zero, and misconfiguration raises."""
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.full((4,), 0.5, jnp.float32)}
+
+    def norms(tx, n):
+        st = tx.init(params)
+        out = []
+        for _ in range(n):
+            up, st = tx.update(grads, st, params)
+            out.append(float(jnp.abs(up["w"]).max()))
+        return out
+
+    cos = norms(make_adamw(1e-3, 0.0, schedule="cosine", total_steps=10), 10)
+    assert cos[0] == pytest.approx(1e-3, rel=1e-3)  # starts at peak lr
+    assert cos[-1] < cos[0] / 10  # decayed to a few percent of peak
+
+    # Constant lr: steady magnitude (tiny drift from Adam bias correction).
+    const = norms(make_adamw(1e-3, 0.0), 3)
+    assert const[0] == pytest.approx(const[-1], rel=1e-4)
+
+    warm = norms(
+        make_adamw(
+            1e-3, 0.0, schedule="cosine", total_steps=10, warmup_steps=5
+        ),
+        10,
+    )
+    assert warm[0] < warm[4]  # ramping up
+    assert max(warm) == pytest.approx(1e-3, rel=0.3)  # reaches ~peak
+
+    with pytest.raises(ValueError, match="total_steps"):
+        make_adamw(1e-3, 0.0, schedule="cosine")
+    with pytest.raises(ValueError, match="Unknown lr schedule"):
+        make_adamw(1e-3, 0.0, schedule="linear")

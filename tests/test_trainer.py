@@ -394,3 +394,25 @@ def test_device_resident_resume(dataset_root: Path, tmp_path: Path) -> None:
         (Path(resumed["checkpoints_dir"]) / "last" / "meta.json").read_text()
     )
     assert meta["epoch"] == 2
+
+
+def test_train_with_cosine_lr_schedule(dataset_root: Path, tmp_path: Path) -> None:
+    """--lr-schedule cosine trains end to end (superset of the reference's
+    constant lr) and the schedule choice lands in the tracked params."""
+    cfg = _config(
+        dataset_root,
+        epochs=2,
+        lr_schedule="cosine",
+        lr_warmup_steps=2,
+        output_dir=str(tmp_path / "out"),
+        mlflow_tracking_uri=str(tmp_path / "t"),
+        preview_samples=0,
+    )
+    summary = train(cfg)
+    assert np.isfinite(summary["best_val_mae"])
+    # Plain-path URI -> native MLflow FileStore backend: one file per param.
+    sched = list(Path(cfg.mlflow_tracking_uri).rglob("params/lr_schedule"))
+    assert sched, "lr_schedule param not tracked"
+    assert sched[0].read_text().strip() == "cosine"
+    warm = list(Path(cfg.mlflow_tracking_uri).rglob("params/lr_warmup_steps"))
+    assert warm and warm[0].read_text().strip() == "2"
