@@ -337,6 +337,7 @@ def test_offline_evaluate_matches_training_val_metrics(
         "--val-fraction", "0.25", "--seed", "42",
         "--batch-size", "4", "--num-workers", "0",
         "--base-channels", "8",
+        "--output-dir", str(tmp_path / "eval_out"),
     ]
     # Default --mesh-devices 0 scores over ALL visible devices (the 8-CPU
     # farm here), pad-and-masking the 3-sample tail batch; it must agree
