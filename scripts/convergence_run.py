@@ -48,20 +48,26 @@ def _log(msg: str) -> None:
 
 
 def _read_jsonl_metrics(tracking_dir: Path) -> list[dict]:
-    """Newest metrics.jsonl under the jsonl tracking dir -> epoch records
-    (step-metric records, which carry train_* keys only, are filtered out
-    by requiring epoch_seconds)."""
+    """Merge every metrics.jsonl under the jsonl tracking dir -> epoch
+    records (step-metric records, which carry train_* keys only, are
+    filtered out by requiring epoch_seconds). Merging handles resumed
+    runs, where epochs 1..k live in the interrupted run's file and
+    k+1..N in the resumed run's; for a duplicated epoch the newest
+    file's record wins."""
     candidates = sorted(
         tracking_dir.rglob("metrics.jsonl"), key=lambda p: p.stat().st_mtime
     )
     if not candidates:
         raise FileNotFoundError(f"No metrics.jsonl under {tracking_dir}")
-    records = [
-        json.loads(line)
-        for line in candidates[-1].read_text().splitlines()
-        if line.strip()
-    ]
-    return [r for r in records if "epoch_seconds" in r]
+    by_epoch: dict[int, dict] = {}
+    for path in candidates:  # oldest first; newer files overwrite
+        for line in path.read_text().splitlines():
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            if "epoch_seconds" in r:
+                by_epoch[int(r["step"])] = r
+    return list(by_epoch.values())
 
 
 def _epoch_series(records: list[dict], keys: tuple[str, ...]) -> dict:
@@ -109,7 +115,7 @@ def run_tpu(args: argparse.Namespace) -> None:
         _log(f"dataset ready in {meta['elapsed_seconds']}s")
 
     trk = work / "tracking"
-    if trk.exists():
+    if trk.exists() and not args.resume_from:
         shutil.rmtree(trk)
     cfg = TrainConfig(
         dataset_root=str(data),
@@ -129,6 +135,7 @@ def run_tpu(args: argparse.Namespace) -> None:
         init_checkpoint=args.init_checkpoint,
         lr_schedule=args.lr_schedule,
         lr_warmup_steps=args.lr_warmup_steps,
+        resume=args.resume_from or "",
     )
     _log(f"training base=32 {hw} batch={args.batch_size} "
          f"for {args.epochs} epochs ...")
@@ -155,6 +162,7 @@ def run_tpu(args: argparse.Namespace) -> None:
             "dataset": "scripts/make_synth_dataset.py (seed 0)",
             "pipeline": "packed cache + device-resident",
             "init_checkpoint": args.init_checkpoint,
+            "resumed_from": args.resume_from,
         },
         "wall_seconds": round(train_seconds, 1),
         "best_epoch": summary["best_epoch"],
@@ -349,6 +357,14 @@ def main() -> None:
                      help="artifact filename suffix, e.g. _fast")
     tpu.add_argument("--preview-samples", type=int, default=4)
     tpu.add_argument("--workdir", type=str, default="/tmp/convergence_tpu")
+    tpu.add_argument(
+        "--resume-from", type=str, default=None, dest="resume_from",
+        help="Resume an interrupted run from this checkpoint (the trainer's "
+             "full-state resume). The workdir's tracking dir is kept and "
+             "the artifact merges epoch records across the interrupted and "
+             "resumed runs — built for recovering long runs from this "
+             "platform's intermittent request hangs (docs/PERF.md).",
+    )
     tpu.add_argument("--lr-schedule", type=str, default="constant",
                      choices=("constant", "cosine"), dest="lr_schedule")
     tpu.add_argument("--lr-warmup-steps", type=int, default=0,
