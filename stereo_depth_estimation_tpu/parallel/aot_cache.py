@@ -179,11 +179,19 @@ def lazy_aot_wrap(
     state: dict[str, Any] = {"failed": False}
 
     def _sig(args: tuple, kwargs: dict) -> tuple:
-        return tuple(
-            (x.shape, str(x.dtype))
-            if hasattr(x, "shape") and hasattr(x, "dtype")
-            else type(x).__name__
-            for x in jax.tree.leaves((args, kwargs))
+        # Leaf avals AND the pytree structure: two calls can carry identical
+        # leaves in different containers (e.g. constant-lr EmptyState vs
+        # schedule state in opt_state) and must not share an executable —
+        # same reason the disk digest covers the input treedef.
+        leaves, treedef = jax.tree.flatten((args, kwargs))
+        return (
+            str(treedef),
+            tuple(
+                (x.shape, str(x.dtype))
+                if hasattr(x, "shape") and hasattr(x, "dtype")
+                else type(x).__name__
+                for x in leaves
+            ),
         )
 
     def call(*args: Any, **kwargs: Any) -> Any:

@@ -206,3 +206,28 @@ def test_digest_distinguishes_input_pytree_of_pruned_args(tmp_path) -> None:
     blobs = len(list(tmp_path.glob("aot_*.bin"))) - before
     if blobs:  # backend serialises: the two signatures must not collide
         assert blobs == 2, "pytree-different signatures shared one cache entry"
+
+
+def test_lazy_wrap_separates_same_leaves_different_structure(tmp_path) -> None:
+    """In-process analog of the digest test above: lazy_aot_wrap's
+    per-signature dispatch must key on pytree structure too, or a second
+    structure with identical leaf avals is routed to the first
+    structure's executable and rejected."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereo_depth_estimation_tpu.parallel.aot_cache import lazy_aot_wrap
+
+    def fn(x, unused):
+        return x + 1.0
+
+    wrapped = lazy_aot_wrap(jax.jit(fn), tmp_path)
+    x = jnp.zeros((3,))
+    leaf = jnp.zeros((2,))
+    np.testing.assert_array_equal(
+        np.asarray(wrapped(x, {"a": leaf})), np.ones(3)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wrapped(x, (leaf, leaf))), np.ones(3)
+    )
