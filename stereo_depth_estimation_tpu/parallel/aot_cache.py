@@ -115,6 +115,10 @@ def compile_with_disk_cache(
             )
             if verbose:
                 print(f"[aot_cache] loaded executable from {path.name}")
+            try:  # mark as recently used so LRU pruning keeps it
+                os.utime(path)
+            except OSError:
+                pass
             return compiled, "aot-cache"
         except Exception as exc:  # corrupt / incompatible: recompile below
             if verbose:
@@ -151,7 +155,40 @@ def compile_with_disk_cache(
             f"[aot_cache] saved executable ({len(blob) / 1e6:.1f} MB) "
             f"to {path.name}"
         )
+    _prune_lru(cache_dir, keep=path)
     return compiled, "compiled"
+
+
+def _prune_lru(cache_dir: Path, keep: Path) -> None:
+    """Bound the cache: executables are O(100 MB) each and every digest
+    change (source edit that alters the program, jax upgrade, new input
+    structure) orphans the previous blob forever. After a save, keep the
+    ``SDE_AOT_CACHE_KEEP`` (default 16) most recently USED blobs — loads
+    touch mtime above, so active entries never age out — and delete the
+    rest. Deleting a blob another process is mid-reading is safe on POSIX
+    (the open handle stays valid); a concurrent miss just recompiles."""
+    try:
+        limit = int(os.environ.get("SDE_AOT_CACHE_KEEP", "16"))
+    except ValueError:
+        limit = 16
+    if limit <= 0:  # 0 disables pruning entirely
+        return
+    try:
+        blobs = sorted(
+            cache_dir.glob("aot_*.bin"),
+            key=lambda p: p.stat().st_mtime,
+            reverse=True,
+        )
+    except OSError:
+        return
+    for stale in blobs[limit:]:
+        if stale == keep:
+            continue
+        try:
+            stale.unlink()
+            stale.with_suffix(".hlo.txt").unlink(missing_ok=True)
+        except OSError:
+            pass
 
 
 def lazy_aot_wrap(

@@ -231,3 +231,27 @@ def test_lazy_wrap_separates_same_leaves_different_structure(tmp_path) -> None:
     np.testing.assert_array_equal(
         np.asarray(wrapped(x, (leaf, leaf))), np.ones(3)
     )
+
+
+def test_lru_prune_bounds_cache(tmp_path, monkeypatch) -> None:
+    """SDE_AOT_CACHE_KEEP bounds the blob count after each save, evicting
+    least-recently-used entries (orphans from digest changes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_depth_estimation_tpu.parallel.aot_cache import (
+        compile_with_disk_cache,
+    )
+
+    monkeypatch.setenv("SDE_AOT_CACHE_KEEP", "2")
+    x = jnp.arange(4.0)
+    for k in (1.0, 2.0, 3.0):
+        jitted = jax.jit(lambda v, k=k: v * k)
+        compiled, source = compile_with_disk_cache(jitted, tmp_path, x)
+        if source == "compiled-unsaved":
+            return  # backend doesn't serialize here; nothing to prune
+    blobs = list(tmp_path.glob("aot_*.bin"))
+    assert len(blobs) == 2, f"prune kept {len(blobs)} blobs, wanted 2"
+    # The just-saved (newest) program must still be cached.
+    _, source = compile_with_disk_cache(jax.jit(lambda v: v * 3.0), tmp_path, x)
+    assert source == "aot-cache"
