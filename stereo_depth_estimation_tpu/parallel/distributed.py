@@ -151,42 +151,92 @@ class MultihostBatcher:
         proportional to the rows this host feeds; H2D bytes are exactly one
         copy of each locally-owned block."""
         global_n = len(padded)
-        # Which batch rows do this host's devices own? Determined by the
-        # 'data'-axis placement alone, so probe with a rank-1 sharding.
-        row_map = NamedSharding(self.mesh, P(self.axis_name)).devices_indices_map(
-            (global_n,)
+        local_devices, rows, position = owned_rows(
+            self.mesh, self.axis_name, global_n
         )
-        local_devices = [
-            d for d in row_map if d.process_index == self.process_index
-        ]
-        rows = sorted(
-            {
-                r
-                for d in local_devices
-                for r in range(*row_map[d][0].indices(global_n))
-            }
-        )
-        position = {row: i for i, row in enumerate(rows)}
 
         local = self.fetch(padded[rows])
         target = np.asarray(local["target"])
         mask = (target > 0.0) & is_real[rows, None, None]
         local = {**local, "valid_mask": mask}
+        return assemble_row_blocks(
+            self.sharding, local, local_devices, position, global_n
+        )
 
-        out: dict[str, jax.Array] = {}
-        for key, value in local.items():
-            value = np.asarray(value)
-            global_shape = (global_n, *value.shape[1:])
-            shard_map = self.sharding.devices_indices_map(global_shape)
-            shards = []
-            for device in local_devices:
-                index = shard_map[device]
-                batch_rows = [
-                    position[r] for r in range(*index[0].indices(global_n))
-                ]
-                block = value[batch_rows][(slice(None), *index[1:])]
-                shards.append(jax.device_put(block, device))
-            out[key] = jax.make_array_from_single_device_arrays(
-                global_shape, self.sharding, shards
-            )
-        return out
+
+def owned_rows(
+    mesh: Mesh, axis_name: str, global_n: int
+) -> tuple[list, list[int], dict[int, int]]:
+    """Which rows of a ``global_n``-row axis does THIS host feed?
+
+    Determined by the row axis's placement alone, so probe with a rank-1
+    sharding. Returns (this host's devices in that placement, the sorted
+    union of row ids they own, row id -> local fetch position)."""
+    row_map = NamedSharding(mesh, P(axis_name)).devices_indices_map(
+        (global_n,)
+    )
+    process_index = jax.process_index()
+    local_devices = [
+        d for d in row_map if d.process_index == process_index
+    ]
+    rows = sorted(
+        {
+            r
+            for d in local_devices
+            for r in range(*row_map[d][0].indices(global_n))
+        }
+    )
+    return local_devices, rows, {row: i for i, row in enumerate(rows)}
+
+
+def assemble_row_blocks(
+    sharding: NamedSharding,
+    local: dict[str, np.ndarray],
+    local_devices: list,
+    position: dict[int, int],
+    global_n: int,
+) -> dict[str, jax.Array]:
+    """Assemble global row-sharded arrays from this host's fetched rows:
+    slice each local device's (rows x trailing-dims) block out of the
+    host-local arrays, ship exactly those bytes, and stitch the global
+    array with ``jax.make_array_from_single_device_arrays``."""
+    out: dict[str, jax.Array] = {}
+    for key, value in local.items():
+        value = np.asarray(value)
+        global_shape = (global_n, *value.shape[1:])
+        shard_map = sharding.devices_indices_map(global_shape)
+        shards = []
+        for device in local_devices:
+            index = shard_map[device]
+            batch_rows = [
+                position[r] for r in range(*index[0].indices(global_n))
+            ]
+            block = value[batch_rows][(slice(None), *index[1:])]
+            shards.append(jax.device_put(block, device))
+        out[key] = jax.make_array_from_single_device_arrays(
+            global_shape, sharding, shards
+        )
+    return out
+
+
+def stage_rows_multihost(
+    fetch: "Callable[[np.ndarray], dict[str, np.ndarray]]",
+    indices: np.ndarray,
+    sharding: NamedSharding,
+    axis_name: str = DATA_AXIS,
+) -> dict[str, jax.Array]:
+    """Multihost analog of ``device_put(fetch(indices), sharding)``: stage
+    a GLOBAL list of store rows as row-sharded global arrays with every
+    host decoding and shipping only the blocks its own devices hold. Used
+    by the HBM window loader (parallel/window.py) so windowed
+    device-resident training works across processes; ``indices`` must be
+    identical on every host (the callers derive it from a shared seed)."""
+    indices = np.asarray(indices)
+    global_n = len(indices)
+    local_devices, rows, position = owned_rows(
+        sharding.mesh, axis_name, global_n
+    )
+    local = fetch(indices[rows])
+    return assemble_row_blocks(
+        sharding, local, local_devices, position, global_n
+    )

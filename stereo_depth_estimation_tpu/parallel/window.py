@@ -227,6 +227,18 @@ class HBMWindowLoader:
             self._pinned_window = self._stage(order)
 
     def _stage(self, indices: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if jax.process_count() > 1:
+            # Multihost: every host fetches and ships only the window rows
+            # its own devices hold (indices are identical on all hosts —
+            # derived from the shared seed), and the global sharded arrays
+            # are stitched per device. Same per-epoch transport bound as
+            # single-host, split across hosts.
+            from .distributed import stage_rows_multihost
+
+            staged = stage_rows_multihost(
+                self._fetch, indices, self._sharding
+            )
+            return staged["input"], staged["target"]
         host = self._fetch(indices)
         images = jax.device_put(host["input"], self._sharding)
         targets = jax.device_put(host["target"], self._sharding)

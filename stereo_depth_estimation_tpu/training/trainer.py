@@ -482,25 +482,19 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     # packed training set is staged into device memory sharded over the
     # mesh — pinned once when it fits the budget (zero steady-state host
     # traffic), rotating at epoch granularity with the next window's H2D
-    # overlapped behind training when it doesn't. Works on any
-    # single-process mesh; multihost runs stream (per-host stripes).
+    # overlapped behind training when it doesn't. Works on any mesh,
+    # including multihost (each host stages only the window blocks its
+    # devices hold — parallel/distributed.py::stage_rows_multihost).
     windowed: HBMWindowLoader | None = None
     device_val_batches: list | None = None
-    if cfg.device_resident == "on" and (
-        train_cache is None
-        or (cfg.multihost and jax.process_count() > 1)
-    ):
+    if cfg.device_resident == "on" and train_cache is None:
         if main_process:
             print(
                 "--device-resident on requested but unavailable "
-                "(needs --packed-cache-root and a single process); "
+                "(needs --packed-cache-root); "
                 "falling back to streamed batches."
             )
-    if (
-        cfg.device_resident != "off"
-        and train_cache is not None
-        and not (cfg.multihost and jax.process_count() > 1)
-    ):
+    if cfg.device_resident != "off" and train_cache is not None:
         payload_bytes = (
             train_cache._images.nbytes + train_cache._disparity.nbytes
         )
