@@ -463,6 +463,11 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         # lowered against the first real (state, batch), so shapes/shardings
         # are exactly the production ones; off-aval calls (e.g. a short
         # validation tail batch) fall through to the normal jit.
+        # Single-process only BY DESIGN: a multihost executable is bound to
+        # the global topology and PJRT's serialize/deserialize semantics for
+        # per-process slices of one program are backend-specific and
+        # unverified here; a stale or cross-process blob could desync the
+        # collective program. Multihost runs always jit-compile.
         from ..parallel.aot_cache import lazy_aot_wrap
 
         aot_dir = (
