@@ -165,22 +165,40 @@ def run_tpu(args: argparse.Namespace) -> None:
             "resumed_from": args.resume_from,
         },
         "wall_seconds": round(train_seconds, 1),
-        "best_epoch": summary["best_epoch"],
-        "best_val_mae": round(float(summary["best_val_mae"]), 5),
+        # Best over the MERGED series, so a --resume-from artifact reports
+        # the run's global best even against pre-resume-carry checkpoints
+        # (the trainer summary also carries the global best for new ones).
+        "best_epoch": min(
+            zip(series["val_mae"], series["epoch"]),
+            default=(summary["best_val_mae"], summary["best_epoch"]),
+            key=lambda t: float("inf") if t[0] is None else t[0],
+        )[1],
+        "best_val_mae": round(
+            min(
+                (m for m in series["val_mae"] if m is not None),
+                default=float(summary["best_val_mae"]),
+            ),
+            5,
+        ),
         "series": series,
     }
     out_name = f"tpu_metrics{args.tag}.json"
     (DOCS / out_name).write_text(json.dumps(artifact, indent=2))
     _log(f"wrote {DOCS / out_name}")
 
-    # First/last epoch preview montages (sample 0) as visual evidence.
+    # First/last epoch preview montages (sample 0) as visual evidence. A
+    # resumed run's outputs start at the resume epoch, so it must not
+    # overwrite the interrupted run's REAL first-epoch montage.
     previews = work / "outputs" / summary["run_id"] / "mlflow_previews"
     if previews.exists():
         epochs_dirs = sorted(previews.iterdir())
         for tag, src_dir in (("first", epochs_dirs[0]), ("last", epochs_dirs[-1])):
+            dest = f"tpu_preview{args.tag}_{tag}_epoch.png"
+            if tag == "first" and args.resume_from and (DOCS / dest).exists():
+                _log(f"kept pre-resume {dest}")
+                continue
             pngs = sorted(src_dir.glob("*.png"))
             if pngs:
-                dest = f"tpu_preview{args.tag}_{tag}_epoch.png"
                 shutil.copy2(pngs[0], DOCS / dest)
                 _log(f"copied {pngs[0].name} -> {dest}")
     print(json.dumps({"best_val_mae": artifact["best_val_mae"],

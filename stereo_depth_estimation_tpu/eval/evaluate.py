@@ -114,13 +114,9 @@ def evaluate(args: argparse.Namespace) -> dict:
     state = replicate_to_mesh(state, mesh)
     eval_step = make_eval_step(model)
     if args.aot_cache != "off":
-        from ..parallel.aot_cache import lazy_aot_wrap
+        from ..parallel.aot_cache import lazy_aot_wrap, resolve_aot_dir
 
-        aot_dir = (
-            Path(args.output_dir).expanduser() / ".aot_cache"
-            if args.aot_cache == "auto"
-            else Path(args.aot_cache)
-        )
+        aot_dir = resolve_aot_dir(args.aot_cache, args.output_dir)
         # Lowered against the first real sharded (state, batch); a
         # different-shaped tail batch falls through to the jit.
         eval_step = lazy_aot_wrap(

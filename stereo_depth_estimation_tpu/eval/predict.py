@@ -217,13 +217,9 @@ def predict(args: argparse.Namespace) -> dict:
     variables, _meta = load_model_variables(checkpoint_path, template)
     predict_fn = make_predict_fn(model)
     if args.aot_cache != "off":
-        from ..parallel.aot_cache import lazy_aot_wrap
+        from ..parallel.aot_cache import lazy_aot_wrap, resolve_aot_dir
 
-        aot_dir = (
-            args.predictions_dir / ".aot_cache"
-            if args.aot_cache == "auto"
-            else Path(args.aot_cache)
-        )
+        aot_dir = resolve_aot_dir(args.aot_cache, args.predictions_dir)
         # Every batch is padded to the static batch shape below, so one
         # cached executable serves the whole run (and future runs).
         predict_fn = lazy_aot_wrap(

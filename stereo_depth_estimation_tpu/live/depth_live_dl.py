@@ -363,11 +363,9 @@ def main(argv: list[str] | None = None) -> None:
     baseline_m = calibration_baseline_m
     depth_enabled = baseline_m is not None and focal_length_px_model is not None
 
-    aot_dir = (
-        args.output_dir / ".aot_cache"
-        if args.aot_cache == "auto"
-        else (None if args.aot_cache == "off" else Path(args.aot_cache))
-    )
+    from ..parallel.aot_cache import resolve_aot_dir
+
+    aot_dir = resolve_aot_dir(args.aot_cache, args.output_dir)
     engine = LiveDepthEngine(
         model_size, rectifier, base_channels=args.base_channels,
         aot_cache=aot_dir,

@@ -30,6 +30,18 @@ from pathlib import Path
 from typing import Any, Callable
 
 
+def resolve_aot_dir(arg: str, auto_base: str | Path) -> Path | None:
+    """Resolve a CLI ``--aot-cache`` value: ``"off"`` -> None (disabled),
+    ``"auto"`` -> ``<auto_base>/.aot_cache``, anything else -> that path.
+    One definition for the trainer, eval, predict, and live-viewer CLIs,
+    which all expose the same flag."""
+    if arg == "off":
+        return None
+    if arg == "auto":
+        return Path(auto_base).expanduser().resolve() / ".aot_cache"
+    return Path(arg).expanduser().resolve()
+
+
 def _digest(lowered: Any, extra: str = "") -> str:
     import jax
 

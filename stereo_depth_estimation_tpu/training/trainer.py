@@ -412,77 +412,6 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     preview_split = "val" if val_samples else "train"
     preview_count = min(cfg.preview_samples, len(preview_source))
 
-    model = StereoUNet(
-        in_channels=6,
-        out_channels=1,
-        base_channels=cfg.base_channels,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
-    )
-    # Cosine total_steps uses the padded-batch step count (pad-and-mask
-    # keeps every epoch at ceil(n/batch) steps); a resumed run restores the
-    # schedule position with the optimizer's step count.
-    steps_per_epoch = -(-len(train_samples) // cfg.batch_size)
-    tx = make_adamw(
-        cfg.lr, cfg.weight_decay,
-        schedule=cfg.lr_schedule,
-        total_steps=steps_per_epoch * cfg.epochs,
-        warmup_steps=cfg.lr_warmup_steps,
-    )
-    state = create_train_state(
-        model, jax.random.key(cfg.seed), (cfg.height, cfg.width), tx
-    )
-    num_parameters = count_params(state.params)
-    start_epoch = 1
-    if cfg.init_checkpoint:
-        if cfg.resume:
-            raise ValueError(
-                "--init-checkpoint and --resume are mutually exclusive: "
-                "resume restores the full TrainState including these weights."
-            )
-        variables, _meta = load_model_variables(
-            Path(cfg.init_checkpoint),
-            {"params": state.params, "batch_stats": state.batch_stats},
-        )
-        state = state.replace(
-            params=variables["params"], batch_stats=variables["batch_stats"]
-        )
-        if main_process:
-            print(f"Initialised model weights from {cfg.init_checkpoint}.")
-    if cfg.resume:
-        state, meta = load_train_state(Path(cfg.resume), state)
-        start_epoch = int(meta.get("epoch", 0)) + 1
-        if main_process:
-            print(f"Resumed from {cfg.resume} at epoch {start_epoch - 1}.")
-    state = replicate_to_mesh(state, mesh)
-
-    train_step = make_train_step(model, tx, augment_config_from(cfg))
-    eval_step = make_eval_step(model)
-    if cfg.aot_cache != "off" and jax.process_count() == 1:
-        # Executable disk cache (parallel/aot_cache.py): repeat runs of the
-        # same config skip the ~90-215 s per-process XLA recompile. Lazily
-        # lowered against the first real (state, batch), so shapes/shardings
-        # are exactly the production ones; off-aval calls (e.g. a short
-        # validation tail batch) fall through to the normal jit.
-        # Single-process only BY DESIGN: a multihost executable is bound to
-        # the global topology and PJRT's serialize/deserialize semantics for
-        # per-process slices of one program are backend-specific and
-        # unverified here; a stale or cross-process blob could desync the
-        # collective program. Multihost runs always jit-compile.
-        from ..parallel.aot_cache import lazy_aot_wrap
-
-        aot_dir = (
-            Path(cfg.output_dir).expanduser().resolve() / ".aot_cache"
-            if cfg.aot_cache == "auto"
-            else Path(cfg.aot_cache)
-        )
-        train_step = lazy_aot_wrap(
-            train_step, aot_dir, label="train step", verbose=main_process
-        )
-        eval_step = lazy_aot_wrap(
-            eval_step, aot_dir, label="eval step", verbose=main_process
-        )
-    predict = make_predict_fn(model)
-
     # Device-resident fast path, HBM-windowed (parallel/window.py): the
     # packed training set is staged into device memory sharded over the
     # mesh — pinned once when it fits the budget (zero steady-state host
@@ -490,6 +419,10 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     # overlapped behind training when it doesn't. Works on any mesh,
     # including multihost (each host stages only the window blocks its
     # devices hold — parallel/distributed.py::stage_rows_multihost).
+    # Built BEFORE the optimizer: the windowed path's steps/epoch differs
+    # from the streaming ceil(n/batch) (data-axis padding; rotating
+    # wrap-fill), and the cosine schedule's total_steps must match the
+    # steps the run will actually take.
     windowed: HBMWindowLoader | None = None
     device_val_batches: list | None = None
     if cfg.device_resident == "on" and train_cache is None:
@@ -548,6 +481,85 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                 for i in range(0, n_val, cfg.batch_size)
             ]
 
+    model = StereoUNet(
+        in_channels=6,
+        out_channels=1,
+        base_channels=cfg.base_channels,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )
+    # Cosine total_steps matches the path taken: the windowed plan's
+    # steps/epoch when device-resident, else the streaming pad-and-mask
+    # ceil(n/batch). A resumed run restores the schedule position with the
+    # optimizer's step count.
+    steps_per_epoch = (
+        windowed.plan.steps_per_epoch
+        if windowed is not None
+        else -(-len(train_samples) // cfg.batch_size)
+    )
+    tx = make_adamw(
+        cfg.lr, cfg.weight_decay,
+        schedule=cfg.lr_schedule,
+        total_steps=steps_per_epoch * cfg.epochs,
+        warmup_steps=cfg.lr_warmup_steps,
+    )
+    state = create_train_state(
+        model, jax.random.key(cfg.seed), (cfg.height, cfg.width), tx
+    )
+    num_parameters = count_params(state.params)
+    start_epoch = 1
+    if cfg.init_checkpoint:
+        if cfg.resume:
+            raise ValueError(
+                "--init-checkpoint and --resume are mutually exclusive: "
+                "resume restores the full TrainState including these weights."
+            )
+        variables, _meta = load_model_variables(
+            Path(cfg.init_checkpoint),
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        if main_process:
+            print(f"Initialised model weights from {cfg.init_checkpoint}.")
+    resume_carry: dict[str, Any] = {}
+    if cfg.resume:
+        state, meta = load_train_state(Path(cfg.resume), state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        # Continuity beyond the TrainState: the global step counter (so
+        # step metrics don't reuse ids the interrupted run already logged)
+        # and the best-so-far (so `best` banking and the final summary are
+        # global, not best-since-resume). Absent in pre-carry checkpoints,
+        # in which case behavior matches the old resume.
+        resume_carry = dict(meta.get("metrics", {}).get("resume_carry", {}))
+        if main_process:
+            print(f"Resumed from {cfg.resume} at epoch {start_epoch - 1}.")
+    state = replicate_to_mesh(state, mesh)
+
+    train_step = make_train_step(model, tx, augment_config_from(cfg))
+    eval_step = make_eval_step(model)
+    if cfg.aot_cache != "off" and jax.process_count() == 1:
+        # Executable disk cache (parallel/aot_cache.py): repeat runs of the
+        # same config skip the ~90-215 s per-process XLA recompile. Lazily
+        # lowered against the first real (state, batch), so shapes/shardings
+        # are exactly the production ones; off-aval calls (e.g. a short
+        # validation tail batch) fall through to the normal jit.
+        # Single-process only BY DESIGN: a multihost executable is bound to
+        # the global topology and PJRT's serialize/deserialize semantics for
+        # per-process slices of one program are backend-specific and
+        # unverified here; a stale or cross-process blob could desync the
+        # collective program. Multihost runs always jit-compile.
+        from ..parallel.aot_cache import lazy_aot_wrap, resolve_aot_dir
+
+        aot_dir = resolve_aot_dir(cfg.aot_cache, cfg.output_dir)
+        train_step = lazy_aot_wrap(
+            train_step, aot_dir, label="train step", verbose=main_process
+        )
+        eval_step = lazy_aot_wrap(
+            eval_step, aot_dir, label="eval step", verbose=main_process
+        )
+    predict = make_predict_fn(model)
+
     if cfg.multihost and jax.process_count() > 1:
         # Each host decodes only its stripe of every global batch and the
         # global array is assembled device-side — batches leave
@@ -592,9 +604,9 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                     "samples each epoch."
                 )
 
-        best_val_mae = float("inf")
-        best_epoch = -1
-        global_step = 0
+        best_val_mae = float(resume_carry.get("best_val_mae", float("inf")))
+        best_epoch = int(resume_carry.get("best_epoch", -1))
+        global_step = int(resume_carry.get("global_step", 0))
         profiler = StepProfiler(
             cfg.profile_dir if main_process else None, cfg.profile_steps
         )
@@ -666,12 +678,6 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                     previews_dir, artifact_path=f"previews/epoch_{epoch:04d}"
                 )
 
-            # Every process calls save (orbax coordinates multihost saves
-            # internally); only process 0 touches the filesystem.
-            save_checkpoint(
-                checkpoints_dir, "last", state,
-                epoch=epoch, config=asdict(cfg), metrics=epoch_metrics,
-            )
             if val_metrics["mae"] < best_val_mae:
                 best_val_mae = val_metrics["mae"]
                 best_epoch = epoch
@@ -679,6 +685,24 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                     checkpoints_dir, "best", state,
                     epoch=epoch, config=asdict(cfg), metrics=epoch_metrics,
                 )
+            # Every process calls save (orbax coordinates multihost saves
+            # internally); only process 0 touches the filesystem. `last`
+            # carries resume continuity (global step counter + global
+            # best-so-far) so an interrupted run resumes without resetting
+            # either; saved after the best check so the carry reflects
+            # this epoch.
+            save_checkpoint(
+                checkpoints_dir, "last", state,
+                epoch=epoch, config=asdict(cfg),
+                metrics={
+                    **epoch_metrics,
+                    "resume_carry": {
+                        "global_step": global_step,
+                        "best_val_mae": best_val_mae,
+                        "best_epoch": best_epoch,
+                    },
+                },
+            )
 
             if not main_process:
                 pass

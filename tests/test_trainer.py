@@ -180,7 +180,18 @@ def test_resume_continues_from_checkpoint(dataset_root: Path, tmp_path: Path) ->
     run_dir = Path(cfg2.output_dir) / summary2["run_id"]
     meta = json.loads((run_dir / "checkpoints" / "last" / "meta.json").read_text())
     assert meta["epoch"] == 2
-    assert summary2["best_epoch"] == 2
+
+    # Resume continuity (carried in the checkpoint meta): the step counter
+    # keeps counting instead of restarting, and best-so-far is GLOBAL over
+    # both segments — epoch 1's result competes, it is not forgotten.
+    assert summary2["global_step"] == 2 * summary1["global_step"] > 0
+    assert meta["metrics"]["resume_carry"]["global_step"] == summary2["global_step"]
+    assert summary2["best_epoch"] in (1, 2)
+    assert summary2["best_val_mae"] <= summary1["best_val_mae"] * (1 + 1e-9)
+    if summary2["best_epoch"] == 1:
+        np.testing.assert_allclose(
+            summary2["best_val_mae"], summary1["best_val_mae"], rtol=1e-6
+        )
 
 
 def test_train_with_packed_cache(dataset_root: Path, tmp_path: Path) -> None:
@@ -389,8 +400,9 @@ def test_device_resident_resume(dataset_root: Path, tmp_path: Path) -> None:
     ))
     steps_per_epoch = 9 // 4
     assert first["global_step"] == steps_per_epoch
-    # Resumed run executes only epoch 2.
-    assert resumed["global_step"] == steps_per_epoch
+    # Resumed run executes only epoch 2, but the step counter CONTINUES
+    # from the carried value (so tracking step ids never repeat).
+    assert resumed["global_step"] == 2 * steps_per_epoch
     meta = json.loads(
         (Path(resumed["checkpoints_dir"]) / "last" / "meta.json").read_text()
     )
