@@ -266,3 +266,41 @@ def test_rotating_with_indivisible_sample_count() -> None:
     ids = _collect_epoch_sample_ids(loader, epoch=0)
     assert max(ids) < n and min(ids) >= 0
     assert set(ids) == set(range(n))  # every real sample still appears
+
+
+def test_stage_rows_multihost_single_process_equals_device_put() -> None:
+    """stage_rows_multihost on a single process (where every device is
+    local) must assemble exactly device_put(fetch(indices), sharding) —
+    the multihost path's correctness reduces to per-device block math,
+    which is topology-independent."""
+    import jax
+    import numpy as np
+
+    from stereo_depth_estimation_tpu.parallel.distributed import (
+        stage_rows_multihost,
+    )
+    from stereo_depth_estimation_tpu.parallel.mesh import make_mesh
+    from stereo_depth_estimation_tpu.parallel.window import window_sharding
+
+    mesh = make_mesh(devices=jax.devices()[:4], spatial=2)  # 2 data x 2 spatial
+    sharding = window_sharding(mesh)
+    rng = np.random.default_rng(3)
+    store_images = rng.integers(0, 256, (10, 8, 6, 6), dtype=np.uint8)
+    store_targets = rng.uniform(0, 20, (10, 8, 6)).astype(np.float16)
+
+    def fetch(rows: np.ndarray) -> dict[str, np.ndarray]:
+        return {"input": store_images[rows], "target": store_targets[rows]}
+
+    indices = np.array([7, 1, 4, 9, 0, 2])  # window of 6 rows
+    staged = stage_rows_multihost(fetch, indices, sharding)
+    direct = {
+        key: jax.device_put(value, sharding)
+        for key, value in fetch(indices).items()
+    }
+    for key in direct:
+        assert staged[key].sharding.is_equivalent_to(
+            direct[key].sharding, staged[key].ndim
+        )
+        np.testing.assert_array_equal(
+            np.asarray(staged[key]), np.asarray(direct[key])
+        )
