@@ -532,6 +532,19 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         # global, not best-since-resume). Absent in pre-carry checkpoints,
         # in which case behavior matches the old resume.
         resume_carry = dict(meta.get("metrics", {}).get("resume_carry", {}))
+        saved_epochs = meta.get("config", {}).get("epochs")
+        if (
+            cfg.lr_schedule != "constant"
+            and saved_epochs is not None
+            and int(saved_epochs) != cfg.epochs
+            and main_process
+        ):
+            print(
+                f"Warning: resuming a {cfg.lr_schedule} lr-schedule run "
+                f"with --epochs {cfg.epochs} (checkpoint was trained for "
+                f"{saved_epochs}): total_steps changes, so the schedule's "
+                "decay endpoint moves relative to the original plan."
+            )
         if main_process:
             print(f"Resumed from {cfg.resume} at epoch {start_epoch - 1}.")
     state = replicate_to_mesh(state, mesh)
