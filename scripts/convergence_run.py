@@ -274,6 +274,16 @@ def _run_reference_trainer(work: Path, data: Path, args) -> list[dict]:
 def run_compare(args: argparse.Namespace) -> None:
     from scripts.make_synth_dataset import generate
 
+    if args.force_cpu:
+        # The environment's sitecustomize pins jax_platforms=axon,cpu via
+        # jax.config, so JAX_PLATFORMS=cpu in the env is NOT enough (same
+        # note as tests/conftest.py). Both sides of the comparison are
+        # float32 CPU math anyway; this keeps the compare runnable when
+        # the TPU transport is down.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from stereo_depth_estimation_tpu.training.config import TrainConfig
     from stereo_depth_estimation_tpu.training.trainer import train
 
@@ -404,6 +414,11 @@ def main() -> None:
     cmp_.add_argument("--batch-size", type=int, default=16)
     cmp_.add_argument("--seed", type=int, default=42)
     cmp_.add_argument("--workdir", type=str, default="/tmp/convergence_cmp")
+    cmp_.add_argument(
+        "--force-cpu", action="store_true", dest="force_cpu",
+        help="Run this framework's side on CPU (jax.config override; the "
+             "env var alone cannot beat sitecustomize's platform pin).",
+    )
 
     args = parser.parse_args()
     if args.mode == "tpu":
