@@ -94,7 +94,30 @@ def main() -> None:
     batch_size = args.batch_size
     n_samples = 1024
 
-    _log(f"devices: {jax.devices()}")
+    # Device-init watchdog: when the tunneled TPU transport is down,
+    # jax.devices() hangs indefinitely in native code (observed: a full
+    # multi-hour platform outage where even a trivial matmul in a fresh
+    # process never returned — docs/PERF.md "Known bounded gaps"). Fail
+    # fast with an attributable message instead of eating the caller's
+    # whole timeout as an unexplained rc=124.
+    import threading
+
+    init: dict = {}
+
+    def _init() -> None:
+        init["devices"] = jax.devices()
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(300.0)
+    if "devices" not in init:
+        _log(
+            "DEVICE INIT HUNG >300s: the TPU transport/service is down "
+            "(platform outage — not a framework failure; a trivial "
+            "jax.devices() call is what is hanging). Aborting early."
+        )
+        os._exit(3)
+    _log(f"devices: {init['devices']}")
 
     result = measure_device_resident(hw, batch_size, n_samples, cache_dir)
 
