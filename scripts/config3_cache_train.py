@@ -1,0 +1,155 @@
+"""BASELINE config 3: read-through npz-cached training at 480x640.
+
+The one reference training configuration never exercised at measured
+scale (reference train.py:72-77 takes --height/--width; dataset.py:280-300
+is the read-through cache): train at 480x640 (the /16-divisible
+orientation of the reference's "640x480") with ``--cache-root`` set, so
+
+- epoch 1 pays the MISS path per sample: source PNG decode -> bilinear
+  resize (width-scaled disparity) -> npz write-back,
+- epochs 2+ pay the HIT path: npz read + validate.
+
+The script generates a synthetic FoundationStereo-format dataset ABOVE
+the training resolution (default 960x1280 source) so decode+resize do
+real work, runs the standard trainer (streaming path — ``device_resident
+off`` — because the point is the npz cache, not the HBM window plan),
+and reports per-epoch wall times + steady-state pairs/s from the
+trainer's own epoch_seconds metric.
+
+Usage (TPU):
+    python scripts/config3_cache_train.py --workdir /tmp/cfg3 --samples 192
+CPU smoke:
+    python scripts/config3_cache_train.py --workdir /tmp/cfg3cpu \
+        --samples 16 --src-height 96 --src-width 128 --height 48 --width 64 \
+        --batch-size 4 --force-cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _log(msg: str) -> None:
+    print(f"[cfg3 +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def _read_epoch_metrics(tracking_dir: Path) -> dict[int, dict[str, float]]:
+    """epoch -> {metric: value} from the JSONL tracking tree. Records are
+    flat ``{"step": N, "time": ..., <metric>: <value>}`` lines
+    (training/tracking.py JSONL backend); epoch-cadence records carry
+    epoch_seconds, step-cadence ones don't."""
+    epochs: dict[int, dict[str, float]] = {}
+    for path in tracking_dir.rglob("metrics.jsonl"):
+        for line in path.read_text().splitlines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if "epoch_seconds" not in rec:
+                continue
+            epochs.setdefault(int(rec["step"]), {}).update(
+                {k: v for k, v in rec.items() if k not in ("step", "time")}
+            )
+    return epochs
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", type=Path, required=True)
+    parser.add_argument("--samples", type=int, default=192)
+    parser.add_argument("--src-height", type=int, default=960)
+    parser.add_argument("--src-width", type=int, default=1280)
+    parser.add_argument("--height", type=int, default=480)
+    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--batch-size", type=int, default=24,
+                        help="480x640 is 4x the default pixels; 24 keeps "
+                             "activations near the measured batch-128@240x320 "
+                             "envelope on a 16 GB v5e")
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--force-cpu", action="store_true")
+    parser.add_argument("--json", type=Path, default=None)
+    args = parser.parse_args()
+
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from scripts.make_synth_dataset import generate
+
+    from stereo_depth_estimation_tpu.training.config import TrainConfig
+    from stereo_depth_estimation_tpu.training.trainer import train
+
+    work = args.workdir
+    data = work / "data"
+    src_hw = (args.src_height, args.src_width)
+    if not (data / "synth_meta.json").exists():
+        _log(f"generating {args.samples} source samples at {src_hw} ...")
+        meta = generate(data, args.samples, 8, src_hw, 96.0, seed=0)
+        _log(f"dataset ready in {meta['elapsed_seconds']}s")
+
+    cache_root = work / "npz_cache"
+    trk = work / "tracking"
+    cfg = TrainConfig(
+        dataset_root=str(data),
+        height=args.height, width=args.width,
+        epochs=args.epochs, batch_size=args.batch_size,
+        val_fraction=0.1, seed=42, augment=True,
+        cache_root=str(cache_root),
+        device_resident="off",  # the npz read-through path IS the subject
+        packed_cache_root=None,
+        num_workers=4,
+        output_dir=str(work / "outputs"),
+        mlflow_tracking_uri=f"jsonl://{trk}",
+        preview_samples=0,
+    )
+    _log(
+        f"training {args.height}x{args.width} batch={args.batch_size} "
+        f"epochs={args.epochs}, npz cache at {cache_root}"
+    )
+    train(cfg)
+
+    epochs = _read_epoch_metrics(trk)
+    per_epoch = {
+        ep: round(m.get("epoch_seconds", float("nan")), 2)
+        for ep, m in sorted(epochs.items())
+    }
+    n_train = int(args.samples - max(int(args.samples * 0.1), 1))
+    hit_epochs = [s for ep, s in per_epoch.items() if ep >= 2]
+    cache_files = len(list(cache_root.rglob("*.npz")))
+    result = {
+        "metric": "config3_readthrough_cache_training_480x640",
+        "samples": args.samples,
+        "train_samples": n_train,
+        "source_hw": list(src_hw),
+        "train_hw": [args.height, args.width],
+        "batch_size": args.batch_size,
+        "epoch_seconds": per_epoch,
+        "miss_epoch_seconds": per_epoch.get(1),
+        "hit_epoch_seconds_mean": (
+            round(sum(hit_epochs) / len(hit_epochs), 2) if hit_epochs else None
+        ),
+        "hit_pairs_per_sec": (
+            round(n_train * len(hit_epochs) / sum(hit_epochs), 1)
+            if hit_epochs and sum(hit_epochs) > 0 else None
+        ),
+        "npz_cache_entries": cache_files,
+    }
+    print(json.dumps(result))
+    if args.json:
+        args.json.parent.mkdir(parents=True, exist_ok=True)
+        args.json.write_text(json.dumps(result, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

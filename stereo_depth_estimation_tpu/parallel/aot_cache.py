@@ -12,12 +12,21 @@ kind), and later processes deserialise and load it — paying lowering
 
 Scope and honesty:
 - The digest covers exactly what determines the executable: the lowered
-  module text, compiler options are the jit's own (they are baked into the
-  lowered object), the backend version, and the device kind/count.
+  module text, the jit's resolved ``compiler_options`` (verified to flow
+  through ``lower().compile()``, but NOT present in the StableHLO text —
+  factories in ``parallel/train_step.py`` tag the jitted callable with
+  ``_sde_compiler_options`` and the digest folds them in), the backend
+  version, and the device kind/count.
 - Executable portability is backend-dependent; every load is wrapped, and
   any failure falls back to a normal ``lower().compile()`` and re-saves.
 - Donation/sharding metadata rides inside the serialised executable; the
   call signature of the returned object matches the jitted function's.
+- SECURITY: blobs are unpickled on load (both our wrapper tuple and, via
+  ``jax.experimental.serialize_executable``, the payload itself — pickle
+  is that API's own format), so loading a blob another user could have
+  written is arbitrary code execution. The cache dir is therefore created
+  ``0o700``, and loads REFUSE any dir/blob not owned by the current uid
+  or writable by group/other — such entries are recompiled instead.
 """
 
 from __future__ import annotations
@@ -25,9 +34,16 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import sys
 import tempfile
 from pathlib import Path
 from typing import Any, Callable
+
+
+def _say(msg: str) -> None:
+    """Verbose diagnostics go to stderr: callers (bench.py, the CLIs)
+    reserve stdout for machine-parsed results."""
+    print(msg, file=sys.stderr, flush=True)
 
 
 def resolve_aot_dir(arg: str, auto_base: str | Path) -> Path | None:
@@ -40,6 +56,21 @@ def resolve_aot_dir(arg: str, auto_base: str | Path) -> Path | None:
     if arg == "auto":
         return Path(auto_base).expanduser().resolve() / ".aot_cache"
     return Path(arg).expanduser().resolve()
+
+
+def _safe_to_load(path: Path) -> bool:
+    """True when ``path`` and its directory are owned by the current uid
+    and not group/other-writable — the pickle-load precondition (module
+    docstring, SECURITY). Non-POSIX platforms (no getuid) pass."""
+    getuid = getattr(os, "getuid", None)
+    if getuid is None:
+        return True
+    try:
+        stats = (path.parent.stat(), path.stat())
+    except OSError:
+        return False
+    uid = getuid()
+    return all(s.st_uid == uid and not (s.st_mode & 0o022) for s in stats)
 
 
 def _digest(lowered: Any, extra: str = "") -> str:
@@ -55,6 +86,16 @@ def _digest(lowered: Any, extra: str = "") -> str:
             extra,
         )
     )
+    if jax.process_count() > 1:
+        # A multihost executable is one per-process SLICE of a global
+        # program: blobs are keyed per (topology, process_id) so a process
+        # can only ever load the slice compiled for its own position.
+        # Measured safe on the gloo/CPU farm — byte-identical training
+        # metrics after reload, 18.0 s compile -> 0.41 s load
+        # (scripts/multihost_aot_probe.py, docs/multihost_aot_probe.json).
+        # Appended only when multi-process so single-process digests keep
+        # their existing keys.
+        key += f"\x00proc={jax.process_index()}/{jax.process_count()}"
     return hashlib.blake2s(key.encode()).hexdigest()
 
 
@@ -78,6 +119,10 @@ def compile_with_disk_cache(
 
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
+    try:  # private by construction; loads verify below (SECURITY note)
+        os.chmod(cache_dir, 0o700)
+    except OSError:
+        pass
     # Lower with tracebacks stripped from MLIR locations: Pallas custom-call
     # payloads otherwise embed the CALLER's source lines (measured: editing
     # unrelated bench.py lines changed the serialized kernel bytes), which
@@ -100,6 +145,13 @@ def compile_with_disk_cache(
     # EmptyState and cosine ScaleByScheduleState collided and the loaded
     # executable rejected the call with a pytree mismatch).
     in_tree_repr = str(jax.tree.structure((args, kwargs)))
+    # Compiler options change the produced executable but leave the
+    # StableHLO text untouched, so they must be digested explicitly (our
+    # jit factories tag the callable; see module docstring). Appended only
+    # when present so option-less programs keep their existing digests.
+    options = getattr(jitted, "_sde_compiler_options", None)
+    if options:
+        in_tree_repr += "\x00options=" + repr(sorted(options.items()))
     digest = _digest(lowered, extra=in_tree_repr)
     path = cache_dir / f"aot_{digest}.bin"
     if os.environ.get("SDE_AOT_DEBUG"):
@@ -107,7 +159,14 @@ def compile_with_disk_cache(
         # processes' keys can be diffed when a supposed repeat run misses.
         (cache_dir / f"aot_{digest}.hlo.txt").write_text(lowered.as_text())
 
-    if path.exists():
+    if path.exists() and not _safe_to_load(path):
+        if verbose:
+            _say(
+                f"[aot_cache] refusing to load {path.name}: cache dir/blob "
+                "not private to this uid (see module SECURITY note); "
+                "recompiling"
+            )
+    elif path.exists():
         try:
             payload, in_tree, out_tree, device_ids = pickle.loads(
                 path.read_bytes()
@@ -126,7 +185,7 @@ def compile_with_disk_cache(
                 execution_devices=execution_devices,
             )
             if verbose:
-                print(f"[aot_cache] loaded executable from {path.name}")
+                _say(f"[aot_cache] loaded executable from {path.name}")
             try:  # mark as recently used so LRU pruning keeps it
                 os.utime(path)
             except OSError:
@@ -134,7 +193,7 @@ def compile_with_disk_cache(
             return compiled, "aot-cache"
         except Exception as exc:  # corrupt / incompatible: recompile below
             if verbose:
-                print(f"[aot_cache] load failed ({exc!r}); recompiling")
+                _say(f"[aot_cache] load failed ({exc!r}); recompiling")
             try:
                 path.unlink()
             except OSError:
@@ -148,7 +207,7 @@ def compile_with_disk_cache(
         )
     except Exception as exc:
         if verbose:
-            print(f"[aot_cache] backend would not serialize ({exc!r})")
+            _say(f"[aot_cache] backend would not serialize ({exc!r})")
         return compiled, "compiled-unsaved"
     # Atomic publish: a concurrent process never reads a half-written blob.
     fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
@@ -163,7 +222,7 @@ def compile_with_disk_cache(
             pass
         return compiled, "compiled-unsaved"
     if verbose:
-        print(
+        _say(
             f"[aot_cache] saved executable ({len(blob) / 1e6:.1f} MB) "
             f"to {path.name}"
         )
@@ -255,14 +314,14 @@ def lazy_aot_wrap(
                 )
                 compiled_by_sig[sig] = compiled
                 if verbose:
-                    print(
+                    _say(
                         f"[aot_cache] {label} ready in "
                         f"{time.perf_counter() - t0:.1f}s ({source})"
                     )
             except Exception as exc:
                 state["failed"] = True
                 if verbose:
-                    print(f"[aot_cache] {label}: disabled ({exc!r})")
+                    _say(f"[aot_cache] {label}: disabled ({exc!r})")
                 return jitted(*args, **kwargs)
         return compiled_by_sig[sig](*args, **kwargs)
 
@@ -270,7 +329,19 @@ def lazy_aot_wrap(
 
 
 def _device_assignment_ids(compiled: Any) -> list[int] | None:
-    """Device ids the executable was compiled for (best effort)."""
+    """Device ids the executable was compiled for (best effort).
+
+    Multihost returns None: a per-process slice must load onto
+    ``deserialize_and_load``'s default device set (this process's
+    addressable devices) — the executable's recorded assignment mixes
+    global and local id spaces across processes (observed: process 0 of
+    the gloo farm failed its own reload with ``KeyError(2048)`` while the
+    id-free path reproduces fresh-compile metrics byte-for-byte,
+    scripts/multihost_aot_probe.py)."""
+    import jax
+
+    if jax.process_count() > 1:
+        return None
     try:
         return [d.id for d in compiled._executable.xla_executable.local_devices()]
     except Exception:

@@ -245,11 +245,15 @@ def make_train_step(
     options = _step_compiler_options()
     if extra_compiler_options:
         options = {**(options or {}), **extra_compiler_options}
-    return jax.jit(
+    step = jax.jit(
         _make_step_body(model, tx, augment_config),
         donate_argnums=(0,),
         compiler_options=options,
     )
+    # Tag for the AOT disk cache: compiler options alter the executable
+    # without changing the lowered text, so the digest reads this.
+    step._sde_compiler_options = options
+    return step
 
 
 def _device_batch_select(
@@ -384,6 +388,7 @@ def make_device_data_train_step(
         # 472 MB payload ships inside the (remote) compile request
         # (observed: HTTP 413 from the compile service).
         fused = jax.jit(run_fused, donate_argnums=(0,), compiler_options=options)
+        fused._sde_compiler_options = options  # AOT-cache digest tag
 
         def run_wrapper(state: TrainState) -> tuple[TrainState, LossStats]:
             return fused(state, images_u8, targets)

@@ -284,20 +284,46 @@ class HBMWindowLoader:
 
         # Double-buffered rotation: a producer thread assembles window k+1
         # (memmap gather + device_put, both releasing the GIL for the bulk
-        # work) while the main thread trains on window k. maxsize=1 bounds
-        # residency to two windows (the plan budgeted for exactly that).
+        # work) while the main thread trains on window k. Residency is
+        # bounded to TWO windows — exactly what plan_windows budgeted — by
+        # a slot semaphore the producer must acquire BEFORE staging (a
+        # bounded queue alone is not enough: q.put evaluates its staged
+        # argument first, so window k+2 would sit in HBM while the put
+        # blocks, peaking at ~1.5x the budget). The consumer returns a slot
+        # only after it drops its window's references. All producer-side
+        # blocking is a stop-checking timeout loop so an early consumer
+        # exit (exception/break mid-epoch) tears down promptly instead of
+        # stalling join() and leaking a staged window for the process
+        # lifetime.
         q: queue.Queue = queue.Queue(maxsize=1)
         stop = threading.Event()
+        slots = threading.BoundedSemaphore(2)
+
+        def _acquire_slot() -> bool:
+            while not stop.is_set():
+                if slots.acquire(timeout=0.1):
+                    return True
+            return False
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             try:
                 for indices in window_indices:
-                    if stop.is_set():
+                    if not _acquire_slot():
                         return
-                    q.put(self._stage(indices))
-                q.put(None)
+                    if not _put(self._stage(indices)):
+                        return
+                _put(None)
             except BaseException as exc:  # surface in the consumer
-                q.put(exc)
+                _put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -313,10 +339,18 @@ class HBMWindowLoader:
                 seed = _window_seed(self._seed, epoch, w)
                 for pos in range(plan.steps_per_window):
                     yield images, targets, seed, np.int32(pos)
-                del images, targets  # release window k-1's HBM
+                del item, images, targets  # release window k's HBM
+                slots.release()
                 w += 1
         finally:
             stop.set()
+            # Unblock a producer waiting on a full queue and drop any
+            # staged-but-unconsumed window immediately.
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
             thread.join(timeout=60)
 
     def step_adapter(

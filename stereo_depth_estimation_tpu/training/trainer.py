@@ -532,36 +532,59 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         # global, not best-since-resume). Absent in pre-carry checkpoints,
         # in which case behavior matches the old resume.
         resume_carry = dict(meta.get("metrics", {}).get("resume_carry", {}))
-        saved_epochs = meta.get("config", {}).get("epochs")
-        if (
-            cfg.lr_schedule != "constant"
-            and saved_epochs is not None
-            and int(saved_epochs) != cfg.epochs
-            and main_process
-        ):
-            print(
-                f"Warning: resuming a {cfg.lr_schedule} lr-schedule run "
-                f"with --epochs {cfg.epochs} (checkpoint was trained for "
-                f"{saved_epochs}): total_steps changes, so the schedule's "
-                "decay endpoint moves relative to the original plan."
-            )
+        if cfg.lr_schedule != "constant" and main_process:
+            # The decay horizon is steps_per_epoch * epochs, and BOTH
+            # factors can move across a resume (epochs flag; steps/epoch
+            # via batch size, device count, HBM window plan, or a
+            # packed<->streamed flip). Compare the horizon the original
+            # run computed (carried in the checkpoint) against this
+            # run's recomputation; fall back to the epochs-only check
+            # for pre-carry checkpoints.
+            saved_total = resume_carry.get("schedule_total_steps")
+            recomputed_total = steps_per_epoch * cfg.epochs
+            saved_epochs = meta.get("config", {}).get("epochs")
+            if saved_total is not None and int(saved_total) != recomputed_total:
+                print(
+                    f"Warning: resuming a {cfg.lr_schedule} lr-schedule run "
+                    f"whose decay horizon was {saved_total} steps, but this "
+                    f"run computes {recomputed_total} "
+                    f"(steps/epoch {steps_per_epoch} x epochs {cfg.epochs}): "
+                    "the schedule's decay endpoint moves relative to the "
+                    "original plan."
+                )
+            elif (
+                saved_total is None
+                and saved_epochs is not None
+                and int(saved_epochs) != cfg.epochs
+            ):
+                print(
+                    f"Warning: resuming a {cfg.lr_schedule} lr-schedule run "
+                    f"with --epochs {cfg.epochs} (checkpoint was trained for "
+                    f"{saved_epochs}): total_steps changes, so the schedule's "
+                    "decay endpoint moves relative to the original plan."
+                )
         if main_process:
             print(f"Resumed from {cfg.resume} at epoch {start_epoch - 1}.")
     state = replicate_to_mesh(state, mesh)
 
     train_step = make_train_step(model, tx, augment_config_from(cfg))
     eval_step = make_eval_step(model)
-    if cfg.aot_cache != "off" and jax.process_count() == 1:
+    if cfg.aot_cache != "off" and (
+        jax.process_count() == 1 or cfg.aot_cache_multihost
+    ):
         # Executable disk cache (parallel/aot_cache.py): repeat runs of the
         # same config skip the ~90-215 s per-process XLA recompile. Lazily
         # lowered against the first real (state, batch), so shapes/shardings
         # are exactly the production ones; off-aval calls (e.g. a short
         # validation tail batch) fall through to the normal jit.
-        # Single-process only BY DESIGN: a multihost executable is bound to
-        # the global topology and PJRT's serialize/deserialize semantics for
-        # per-process slices of one program are backend-specific and
-        # unverified here; a stale or cross-process blob could desync the
-        # collective program. Multihost runs always jit-compile.
+        # Multihost is OPT-IN (--aot-cache-multihost): blobs are keyed per
+        # (topology, process_id) inside aot_cache._digest, so a process can
+        # only load the slice compiled for its own position — measured safe
+        # on the 2-process gloo farm (18.0 s compile -> 0.41 s load,
+        # byte-identical metrics; scripts/multihost_aot_probe.py,
+        # docs/multihost_aot_probe.json) — but PJRT serialize semantics on
+        # real TPU pods are backend-specific and unverifiable on this
+        # 1-chip rig, so the default multihost path still jit-compiles.
         from ..parallel.aot_cache import lazy_aot_wrap, resolve_aot_dir
 
         aot_dir = resolve_aot_dir(cfg.aot_cache, cfg.output_dir)
@@ -713,6 +736,12 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
                         "global_step": global_step,
                         "best_val_mae": best_val_mae,
                         "best_epoch": best_epoch,
+                        # The lr schedule's decay horizon as COMPUTED by
+                        # this run — epochs alone can't reconstruct it
+                        # (steps/epoch moves with batch size, device
+                        # count, HBM window plan, packed-vs-streamed);
+                        # resume compares against its own recomputation.
+                        "schedule_total_steps": steps_per_epoch * cfg.epochs,
                     },
                 },
             )

@@ -18,6 +18,11 @@ from stereo_depth_estimation_tpu.ops.augment_pallas import (
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # Pallas interpret-mode kernel parity (135s on 1 CPU)
+
+
 def _u8_batch(n=3, h=12, w=16, seed=0):
     return np.random.default_rng(seed).integers(
         0, 256, (n, h, w, 6), dtype=np.uint8

@@ -18,6 +18,9 @@ from stereo_depth_estimation_tpu.training.checkpoint import (
     save_checkpoint,
 )
 
+pytestmark = pytest.mark.slow  # orbax/torch round-trip e2e (119s on 1 CPU)
+
+
 HW = (16, 16)
 
 

@@ -20,6 +20,9 @@ from stereo_depth_estimation_tpu.models.compat import (
     load_torch_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # full golden forward/backward parity (117s on 1 CPU)
+
+
 torch = pytest.importorskip("torch")
 nn_t = torch.nn
 

@@ -17,6 +17,9 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-process gloo farm e2e; fast tier runs with -m 'not slow'
+
+
 REPO = Path(__file__).resolve().parent.parent
 # Avoid TIME_WAIT collisions across quick successive runs.
 PORT = 17000 + (os.getpid() % 2000)

@@ -30,6 +30,9 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-process gloo farm e2e; fast tier runs with -m 'not slow'
+
+
 REPO = Path(__file__).resolve().parent.parent
 PORT = 19100 + (os.getpid() % 2000)
 

@@ -21,6 +21,9 @@ from PIL import Image
 
 from stereo_depth_estimation_tpu.ops.codec import disparity_encode_np
 
+pytestmark = pytest.mark.slow  # multi-process gloo farm e2e; fast tier runs with -m 'not slow'
+
+
 REPO = Path(__file__).resolve().parent.parent
 PORT = 19000 + (os.getpid() % 2000)
 
@@ -144,3 +147,78 @@ def test_two_process_trainer_end_to_end(tmp_path: Path) -> None:
     assert {"train_loss_step", "train_loss", "val_mae", "epoch_seconds"} <= keys
     run_dirs = {p.parent.parent for p in metric_files}
     assert len(run_dirs) == 1
+
+
+_AOT_CHILD = textwrap.dedent(
+    """
+    import os, sys, json
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    root = sys.argv[4]; tag = sys.argv[5]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+
+    from stereo_depth_estimation_tpu.training.config import TrainConfig
+    from stereo_depth_estimation_tpu.training.trainer import train
+
+    cfg = TrainConfig(
+        dataset_root=os.path.join(root, "data"),
+        height=32, width=32, epochs=1, batch_size=4,
+        val_fraction=0.25, seed=42, device="cpu", mesh_devices=0,
+        compute_dtype="float32", base_channels=4,
+        packed_cache_root=os.path.join(root, "packed"),
+        mlflow_tracking_uri=os.path.join(root, "mlruns_" + tag),
+        output_dir=os.path.join(root, "outputs_" + tag),
+        preview_samples=0, log_every_batches=2,
+        aot_cache=os.path.join(root, "aot"), aot_cache_multihost=True,
+        multihost=True, coordinator_address=f"127.0.0.1:{{port}}",
+        num_processes=nproc, process_id=pid,
+    )
+    summary = train(cfg)
+    print("SUMMARY " + json.dumps({{"pid": pid, **summary}}), flush=True)
+    """
+).format(repo=str(REPO))
+
+
+def _run_aot_farm(tmp_path: Path, tag: str, port: int) -> tuple[dict, dict]:
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _AOT_CHILD,
+             str(i), "2", str(port), str(tmp_path), tag],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    summaries, outputs = {}, {}
+    for proc in procs:
+        out, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, out[-4000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("SUMMARY ")][0]
+        summary = json.loads(line[len("SUMMARY "):])
+        summaries[summary.pop("pid")] = summary
+        outputs[len(outputs)] = out
+    return summaries, outputs
+
+
+def test_two_process_trainer_aot_cache_reuse(tmp_path: Path) -> None:
+    """--aot-cache-multihost: the first 2-process run compiles and saves
+    per-(topology, process_id) executables; a second identical run LOADS
+    them (pid-0 stderr says 'aot-cache') and reproduces the fresh-compile
+    metrics exactly. Keying is visible in the blob count: train+eval per
+    process -> at least 4 distinct digests (2 without process keying)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    _make_dataset(tmp_path / "data")
+
+    first, _ = _run_aot_farm(tmp_path, "a", PORT + 7)
+    blobs = list((tmp_path / "aot").glob("aot_*.bin"))
+    assert len(blobs) >= 4, [b.name for b in blobs]
+
+    second, outputs = _run_aot_farm(tmp_path, "b", PORT + 8)
+    assert "aot-cache" in outputs[0] + outputs[1]
+    np.testing.assert_allclose(
+        first[0]["best_val_mae"], second[0]["best_val_mae"], rtol=1e-6
+    )
+    assert first[0]["global_step"] == second[0]["global_step"] > 0

@@ -21,6 +21,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-process gloo farm e2e; fast tier runs with -m 'not slow'
+
+
 REPO = Path(__file__).resolve().parent.parent
 PORT = 21100 + (os.getpid() % 2000)
 

@@ -25,6 +25,9 @@ from stereo_depth_estimation_tpu.parallel.mesh import (
     shard_batch_to_mesh,
 )
 
+pytestmark = pytest.mark.slow  # 2-D mesh halo-exchange runs (106s on 1 CPU)
+
+
 HW = (64, 48)
 
 

@@ -23,6 +23,9 @@ from stereo_depth_estimation_tpu.parallel.mesh import (
     shard_batch_to_mesh,
 )
 
+pytestmark = pytest.mark.slow  # compiles many step variants (259s on 1 CPU)
+
+
 HW = (16, 16)
 
 

@@ -14,6 +14,9 @@ from stereo_depth_estimation_tpu.training.tracking import TrackingRun
 from stereo_depth_estimation_tpu.training.trainer import train
 
 
+pytestmark = pytest.mark.slow  # end-to-end trainer runs; fast tier runs with -m 'not slow'
+
+
 def _make_dataset(root: Path, n: int = 12, shape=(32, 32)) -> None:
     rng = np.random.default_rng(0)
     base = root / "scene_01" / "dataset" / "data"
@@ -429,3 +432,53 @@ def test_train_with_cosine_lr_schedule(dataset_root: Path, tmp_path: Path) -> No
     assert sched[0].read_text().strip() == "cosine"
     warm = list(Path(cfg.mlflow_tracking_uri).rglob("params/lr_warmup_steps"))
     assert warm and warm[0].read_text().strip() == "2"
+
+
+def test_resume_warns_on_schedule_horizon_drift(
+    dataset_root: Path, tmp_path: Path, capsys
+) -> None:
+    """Resuming a cosine run with the SAME epochs but a different
+    batch size moves total_steps = steps_per_epoch x epochs; the warning
+    must fire from the carried schedule_total_steps (ADVICE r4: the old
+    epochs-only check was silent on exactly this drift)."""
+    cfg = _config(
+        dataset_root,
+        epochs=2,
+        lr_schedule="cosine",
+        output_dir=str(tmp_path / "out1"),
+        mlflow_tracking_uri=str(tmp_path / "t1"),
+        preview_samples=0,
+    )
+    summary1 = train(cfg)
+    last = Path(cfg.output_dir) / summary1["run_id"] / "checkpoints" / "last"
+    meta = json.loads((last / "meta.json").read_text())
+    assert "schedule_total_steps" in meta["metrics"]["resume_carry"]
+
+    capsys.readouterr()
+    cfg2 = _config(
+        dataset_root,
+        epochs=2,  # unchanged — the epochs-only check would stay silent
+        batch_size=8,  # 9 train samples: 3 steps/epoch -> 2
+        lr_schedule="cosine",
+        resume=str(last),
+        output_dir=str(tmp_path / "out2"),
+        mlflow_tracking_uri=str(tmp_path / "t2"),
+        preview_samples=0,
+    )
+    train(cfg2)
+    out = capsys.readouterr().out
+    assert "decay horizon" in out
+
+    # Same geometry -> no warning.
+    capsys.readouterr()
+    cfg3 = _config(
+        dataset_root,
+        epochs=2,
+        lr_schedule="cosine",
+        resume=str(last),
+        output_dir=str(tmp_path / "out3"),
+        mlflow_tracking_uri=str(tmp_path / "t3"),
+        preview_samples=0,
+    )
+    train(cfg3)
+    assert "decay horizon" not in capsys.readouterr().out

@@ -17,6 +17,9 @@ from stereo_depth_estimation_tpu.parallel.window import (
     plan_windows,
 )
 
+pytestmark = pytest.mark.slow  # multi-window trainer integration (117s on 1 CPU)
+
+
 HW = (8, 8)
 BYTES_PER_SAMPLE = HW[0] * HW[1] * 6 + HW[0] * HW[1] * 2  # u8 images + f16 disp
 
@@ -304,3 +307,65 @@ def test_stage_rows_multihost_single_process_equals_device_put() -> None:
         np.testing.assert_array_equal(
             np.asarray(staged[key]), np.asarray(direct[key])
         )
+
+
+def test_rotating_producer_bounds_hbm_to_two_windows() -> None:
+    """The producer must not START staging window k+2 until the consumer
+    releases window k (ADVICE r4: q.put evaluated its staged argument
+    before blocking, so three windows could be device-resident while
+    plan_windows budgeted for two)."""
+    import time
+
+    n, batch = 16, 4
+    _, _, fetch = _make_payload(n)
+    stage_starts: dict[int, float] = {}
+    calls = {"n": 0}
+
+    def logging_fetch(indices: np.ndarray) -> dict[str, np.ndarray]:
+        stage_starts[calls["n"]] = time.monotonic()
+        calls["n"] += 1
+        return fetch(indices)
+
+    mesh = make_mesh(jax.devices()[:1])
+    loader = HBMWindowLoader(
+        logging_fetch, n, batch_size=batch, mesh=mesh,
+        bytes_per_sample=BYTES_PER_SAMPLE,
+        # Budget of 8 samples double-buffered -> windows of 4 = 1 step each.
+        budget_bytes=8 * BYTES_PER_SAMPLE, seed=0,
+    )
+    assert loader.plan.num_windows == 4 and loader.plan.steps_per_window == 1
+
+    last_w0_batch_consumed = None
+    for i, wb in enumerate(loader.epoch_batches(epoch=0)):
+        _ = loader.gather(*wb)
+        if i == 0:
+            # Slow consumer: without slot gating the producer would have
+            # staged window 2 long before this sleep ends.
+            time.sleep(0.5)
+            last_w0_batch_consumed = time.monotonic()
+    # Window 2's staging may begin only after window 0 was released, which
+    # happens strictly after its last batch was consumed.
+    assert stage_starts[2] > last_w0_batch_consumed
+
+
+def test_rotating_early_break_tears_down_promptly() -> None:
+    """Closing the epoch generator mid-window must stop the producer and
+    return quickly (ADVICE r4: a producer blocked in q.put never saw the
+    stop event, stalling teardown for the full 60 s join timeout and
+    leaking a staged window)."""
+    import time
+
+    n, batch = 16, 4
+    _, _, fetch = _make_payload(n)
+    mesh = make_mesh(jax.devices()[:1])
+    loader = HBMWindowLoader(
+        fetch, n, batch_size=batch, mesh=mesh,
+        bytes_per_sample=BYTES_PER_SAMPLE,
+        budget_bytes=8 * BYTES_PER_SAMPLE, seed=0,
+    )
+    gen = loader.epoch_batches(epoch=0)
+    next(gen)  # producer is now staged ahead and blocked on the full queue
+    time.sleep(0.2)
+    t0 = time.monotonic()
+    gen.close()  # raises GeneratorExit at the yield -> finally -> join
+    assert time.monotonic() - t0 < 10.0
