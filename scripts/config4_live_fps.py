@@ -1,0 +1,193 @@
+"""BASELINE config 4: live stereo inference frame-loop rate on one chip.
+
+Measures the flagship live-view path (reference depth_live_dl.py:468-529,
+FPS HUD at 625-639) at its production geometry: 640x480 BGR capture
+frames, rectification from the shipped ``calibration/stereo_calib.npz``
+(the real 640x480 rig), resize to the 320x240 model, normalise, UNet
+forward with both heads — all one jitted device program
+(live/depth_live_dl.py::LiveDepthEngine) — plus the host-side per-frame
+work the loop actually does (BGR->RGB staging, center-patch median
+readouts, depth conversion).
+
+Reported per frame (median over the measured frames, warmup discarded):
+
+- ``engine_ms``  — ``LiveDepthEngine.process``: H2D staging + the device
+  program + fetching disparity/logvar/rectified views back,
+- ``readout_ms`` — host depth conversion + center-patch medians +
+  confidence map (the HUD math),
+- ``decode_ms``  — optional: PNG decode when ``--from-files`` exercises
+  the --input-dir file source instead of in-memory frames,
+- ``fps``        — 1 / total per-frame time, the HUD-equivalent number.
+
+Frames are synthetic (uint8 noise) — frame CONTENT does not change the
+timing of a static-shape compiled program; using the shipped calibration
+keeps the remap maps and geometry real.
+
+Usage (TPU):  python scripts/config4_live_fps.py --json docs/live_fps_tpu.json
+CPU smoke:    python scripts/config4_live_fps.py --frames 5 --warmup 2 --force-cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=100)
+    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--model-width", type=int, default=320)
+    parser.add_argument("--model-height", type=int, default=240)
+    parser.add_argument("--capture-width", type=int, default=640)
+    parser.add_argument("--capture-height", type=int, default=480)
+    parser.add_argument("--no-rectify", action="store_true")
+    parser.add_argument("--from-files", action="store_true",
+                        help="Write frames as PNGs and include per-frame "
+                             "decode cost via the --input-dir file source.")
+    parser.add_argument("--aot-cache", type=str, default=str(REPO / ".jax_cache"))
+    parser.add_argument("--force-cpu", action="store_true")
+    parser.add_argument("--json", type=Path, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from stereo_depth_estimation_tpu.live.depth_live_dl import (
+        LiveDepthEngine,
+        load_calibration_geometry,
+        maybe_load_rectifier,
+    )
+    from stereo_depth_estimation_tpu.ops.geometry import (
+        center_patch_median,
+        confidence_from_logvar_np,
+        disparity_to_depth_np,
+    )
+
+    calib = REPO / "calibration" / "stereo_calib.npz"
+    rectifier = maybe_load_rectifier(calib, not args.no_rectify)
+    focal_px, baseline_m, calib_width = load_calibration_geometry(calib)
+    focal_model = (
+        focal_px * args.model_width / calib_width
+        if focal_px and calib_width else None
+    )
+
+    engine = LiveDepthEngine(
+        (args.model_width, args.model_height), rectifier,
+        aot_cache=Path(args.aot_cache) if args.aot_cache != "off" else None,
+    )
+    # Fresh-init weights: parameter VALUES don't change the timing of the
+    # static-shape compiled program, and this keeps the bench hermetic.
+    import jax.numpy as jnp
+
+    engine.variables = jax.jit(
+        lambda key: engine.model.init(
+            key,
+            jnp.zeros((1, args.model_height, args.model_width, 6)),
+            train=False, return_uncertainty=True,
+        )
+    )(jax.random.key(0))
+    engine.uncertainty_available = True
+
+    rng = np.random.default_rng(0)
+    cap_hw = (args.capture_height, args.capture_width)
+    n_distinct = 8  # cycle a few distinct frames; content doesn't alter timing
+    frames = [
+        (
+            rng.integers(0, 256, (*cap_hw, 3), dtype=np.uint8),
+            rng.integers(0, 256, (*cap_hw, 3), dtype=np.uint8),
+        )
+        for _ in range(n_distinct)
+    ]
+
+    frame_dir = None
+    if args.from_files:
+        import tempfile
+
+        from PIL import Image
+
+        frame_dir = Path(tempfile.mkdtemp(prefix="cfg4_frames_"))
+        for i, (fl, fr) in enumerate(frames):
+            Image.fromarray(fl[..., ::-1]).save(frame_dir / f"{i:04d}_left.png")
+            Image.fromarray(fr[..., ::-1]).save(frame_dir / f"{i:04d}_right.png")
+
+    def get_frame(i: int):
+        j = i % n_distinct
+        if frame_dir is None:
+            return frames[j], 0.0
+        from PIL import Image
+
+        t0 = time.perf_counter()
+        fl = np.asarray(Image.open(frame_dir / f"{j:04d}_left.png"))[..., ::-1]
+        fr = np.asarray(Image.open(frame_dir / f"{j:04d}_right.png"))[..., ::-1]
+        return (fl, fr), (time.perf_counter() - t0) * 1e3
+
+    def step(i: int):
+        (fl, fr), decode_ms = get_frame(i)
+        t0 = time.perf_counter()
+        disparity, logvar, _lm, _rm = engine.process(fl, fr)
+        t1 = time.perf_counter()
+        center_disp = center_patch_median(disparity, 20)
+        if focal_model and baseline_m:
+            depth = disparity_to_depth_np(disparity, focal_model, baseline_m)
+            _ = center_patch_median(depth, 20)
+        conf = confidence_from_logvar_np(logvar)
+        _ = center_patch_median(conf, 20)
+        t2 = time.perf_counter()
+        return decode_ms, (t1 - t0) * 1e3, (t2 - t1) * 1e3, center_disp
+
+    t_compile0 = time.perf_counter()
+    step(0)
+    compile_seconds = time.perf_counter() - t_compile0
+    print(f"[cfg4] first frame (compile/AOT load) {compile_seconds:.1f}s",
+          file=sys.stderr, flush=True)
+    for i in range(1, args.warmup):
+        step(i)
+
+    decode, engine_ms, readout = [], [], []
+    t_loop0 = time.perf_counter()
+    for i in range(args.frames):
+        d, e, r, _ = step(i)
+        decode.append(d)
+        engine_ms.append(e)
+        readout.append(r)
+    wall = time.perf_counter() - t_loop0
+
+    result = {
+        "metric": "config4_live_frame_loop",
+        "device": str(jax.devices()[0]),
+        "capture_hw": list(cap_hw),
+        "model_hw": [args.model_height, args.model_width],
+        "rectified": rectifier is not None,
+        "frames": args.frames,
+        "fps": round(args.frames / wall, 1),
+        "frame_ms_median": round(wall / args.frames * 1e3, 2),
+        "engine_ms_median": round(float(np.median(engine_ms)), 2),
+        "readout_ms_median": round(float(np.median(readout)), 2),
+        "decode_ms_median": (
+            round(float(np.median(decode)), 2) if args.from_files else None
+        ),
+        "first_frame_seconds": round(compile_seconds, 2),
+    }
+    print(json.dumps(result))
+    if args.json:
+        args.json.parent.mkdir(parents=True, exist_ok=True)
+        args.json.write_text(json.dumps(result, indent=2) + "\n")
+    if frame_dir is not None:
+        import shutil
+
+        shutil.rmtree(frame_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
