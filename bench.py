@@ -142,7 +142,14 @@ def parent_main() -> int:
             break
         env = dict(os.environ)
         env["SDE_BENCH_DEADLINE_WALL"] = str(deadline)
-        env.setdefault("SDE_BENCH_INIT_WATCHDOG", str(DEFAULT_INIT_WATCHDOG_CHILD))
+        # Attempt 1 keeps the old full 300 s watchdog so a slow-but-alive
+        # init (observed transport warmups take minutes) still succeeds
+        # exactly where the pre-orchestrator bench did; only RETRIES use
+        # the short watchdog, where a quick verdict buys a fresh attempt.
+        env.setdefault(
+            "SDE_BENCH_INIT_WATCHDOG",
+            str(300.0 if attempt == 1 else DEFAULT_INIT_WATCHDOG_CHILD),
+        )
         _log(f"attempt {attempt}/{MAX_ATTEMPTS}: launching child "
              f"({remaining:.0f}s budget left)")
         child = subprocess.Popen(

@@ -14,7 +14,11 @@ the training resolution (default 960x1280 source) so decode+resize do
 real work, runs the standard trainer (streaming path — ``device_resident
 off`` — because the point is the npz cache, not the HBM window plan),
 and reports per-epoch wall times + steady-state pairs/s from the
-trainer's own epoch_seconds metric.
+trainer's own epoch_seconds metric. A tiny same-shape WARMUP run
+populates the AOT executable cache first, so the measured epoch 1 is the
+pure miss path instead of miss+XLA-compile; the measured run always
+starts from a fresh npz cache and a fresh tracking dir (stale ones are
+deleted), so repeat invocations stay well-defined.
 
 Usage (TPU):
     python scripts/config3_cache_train.py --workdir /tmp/cfg3 --samples 192
@@ -98,23 +102,48 @@ def main() -> None:
         meta = generate(data, args.samples, 8, src_hw, 96.0, seed=0)
         _log(f"dataset ready in {meta['elapsed_seconds']}s")
 
+    def make_cfg(tag: str, cache_root: Path, max_samples: int, epochs: int):
+        return TrainConfig(
+            dataset_root=str(data),
+            height=args.height, width=args.width,
+            epochs=epochs, batch_size=args.batch_size,
+            val_fraction=0.1, seed=42, augment=True,
+            max_samples=max_samples,
+            cache_root=str(cache_root),
+            device_resident="off",  # the npz read-through path IS the subject
+            packed_cache_root=None,
+            num_workers=4,
+            output_dir=str(work / f"outputs_{tag}"),
+            mlflow_tracking_uri=f"jsonl://{work / f'tracking_{tag}'}",
+            preview_samples=0,
+            aot_cache=str(work / "aot"),
+        )
+
+    # Phase 1 (warmup): a tiny run with the SAME batch/image shapes so the
+    # AOT executable cache holds every program the measured run needs —
+    # otherwise epoch 1's wall time conflates the O(100-215 s) XLA compile
+    # with the npz MISS cost this script exists to measure. Streaming
+    # batches are pad-and-mask static shapes, so a few samples cover all
+    # signatures.
+    warm_samples = min(args.samples, max(2 * args.batch_size, 24))
+    _log(f"warmup run ({warm_samples} samples, 1 epoch) to populate the "
+         "AOT executable cache ...")
+    train(make_cfg("warm", work / "npz_warmup", warm_samples, 1))
+
+    # Phase 2 (measured): fresh npz cache and fresh tracking dir — epoch 1
+    # is the pure MISS path (decode + resize + write-back), epochs 2+ the
+    # HIT path. The AOT cache makes the one-time compile a <1 s load.
     cache_root = work / "npz_cache"
-    trk = work / "tracking"
-    cfg = TrainConfig(
-        dataset_root=str(data),
-        height=args.height, width=args.width,
-        epochs=args.epochs, batch_size=args.batch_size,
-        val_fraction=0.1, seed=42, augment=True,
-        cache_root=str(cache_root),
-        device_resident="off",  # the npz read-through path IS the subject
-        packed_cache_root=None,
-        num_workers=4,
-        output_dir=str(work / "outputs"),
-        mlflow_tracking_uri=f"jsonl://{trk}",
-        preview_samples=0,
-    )
+    trk = work / "tracking_measured"
+    for stale in (cache_root, trk):
+        if stale.exists():
+            import shutil
+
+            shutil.rmtree(stale)
+    cfg = make_cfg("measured", cache_root, 0, args.epochs)
+    cfg.mlflow_tracking_uri = f"jsonl://{trk}"
     _log(
-        f"training {args.height}x{args.width} batch={args.batch_size} "
+        f"measured run: {args.height}x{args.width} batch={args.batch_size} "
         f"epochs={args.epochs}, npz cache at {cache_root}"
     )
     train(cfg)

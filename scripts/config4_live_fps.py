@@ -154,10 +154,12 @@ def main() -> None:
     for i in range(1, args.warmup):
         step(i)
 
-    decode, engine_ms, readout = [], [], []
+    decode, engine_ms, readout, frame_ms = [], [], [], []
     t_loop0 = time.perf_counter()
     for i in range(args.frames):
+        t_frame = time.perf_counter()
         d, e, r, _ = step(i)
+        frame_ms.append((time.perf_counter() - t_frame) * 1e3)
         decode.append(d)
         engine_ms.append(e)
         readout.append(r)
@@ -171,7 +173,8 @@ def main() -> None:
         "rectified": rectifier is not None,
         "frames": args.frames,
         "fps": round(args.frames / wall, 1),
-        "frame_ms_median": round(wall / args.frames * 1e3, 2),
+        "frame_ms_mean": round(wall / args.frames * 1e3, 2),
+        "frame_ms_median": round(float(np.median(frame_ms)), 2),
         "engine_ms_median": round(float(np.median(engine_ms)), 2),
         "readout_ms_median": round(float(np.median(readout)), 2),
         "decode_ms_median": (

@@ -33,7 +33,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import tempfile
 import textwrap
@@ -124,21 +123,17 @@ _CHILD = textwrap.dedent(
 
 
 def _run_farm(phase: str, port: int, blob_dir: str) -> list[dict]:
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _CHILD, str(i), "2", str(port), phase, blob_dir],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, cwd=str(REPO),
-        )
-        for i in range(2)
-    ]
-    results = []
-    for proc in procs:
-        out, _ = proc.communicate(timeout=900)
-        if proc.returncode != 0:
-            raise RuntimeError(f"{phase} child rc={proc.returncode}: {out[-2000:]}")
-        line = [ln for ln in out.splitlines() if ln.startswith("PROBE ")][0]
-        results.append(json.loads(line[len("PROBE "):]))
+    sys.path.insert(0, str(REPO))
+    from stereo_depth_estimation_tpu.parallel.distributed import run_process_farm
+
+    farm = run_process_farm(
+        _CHILD,
+        lambda i: [str(i), "2", str(port), phase, blob_dir],
+        result_prefix="PROBE ",
+        timeout=900.0,
+        cwd=str(REPO),
+    )
+    results = [json.loads(line) for line, _out in farm]
     return sorted(results, key=lambda r: r["pid"])
 
 

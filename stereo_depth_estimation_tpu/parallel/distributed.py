@@ -240,3 +240,78 @@ def stage_rows_multihost(
     return assemble_row_blocks(
         sharding, local, local_devices, position, global_n
     )
+
+
+# --------------------------------------------------------------------------
+# Host-side CPU-farm harness: one implementation of the "spawn N
+# coordinated children, collect a prefixed result line each" pattern used
+# by the driver entry's 2-process leg (__graft_entry__), the multihost AOT
+# probe (scripts/multihost_aot_probe.py), and the multihost e2e tests.
+# Children are ALWAYS reaped — a wedged gloo rendezvous must not leak
+# processes that hold the coordinator port across retries.
+# --------------------------------------------------------------------------
+
+_farm_launches = 0
+
+
+def next_farm_port(base: int) -> int:
+    """A coordinator port distinct per (process, launch): retries after a
+    wedged farm must not collide with a leaked listener on the old port."""
+    global _farm_launches
+    import os
+
+    _farm_launches += 1
+    return base + (os.getpid() * 7 + _farm_launches * 131) % 2000
+
+
+def run_process_farm(
+    child_source: str,
+    argv_for: Callable[[int], list[str]],
+    *,
+    num_processes: int = 2,
+    timeout: float = 600.0,
+    result_prefix: str = "RESULT ",
+    cwd: str | None = None,
+    env: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Run ``python -c child_source argv_for(i)...`` for each process id and
+    return ``[(result_line_without_prefix, full_output), ...]`` in id order.
+
+    Raises RuntimeError (with the child's output tail) on nonzero exit,
+    timeout, or a missing result line; every child is killed and reaped on
+    ANY exit path."""
+    import subprocess
+    import sys
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child_source, *argv_for(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=cwd, env=env,
+        )
+        for i in range(num_processes)
+    ]
+    outputs: list[str] = []
+    try:
+        for proc in procs:
+            out, _ = proc.communicate(timeout=timeout)
+            outputs.append(out)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"farm child rc={proc.returncode}: {out[-2000:]}"
+                )
+    finally:
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+    results = []
+    for out in outputs:
+        lines = [ln for ln in out.splitlines() if ln.startswith(result_prefix)]
+        if not lines:
+            raise RuntimeError(
+                f"farm child produced no '{result_prefix.strip()}' line: "
+                f"{out[-2000:]}"
+            )
+        results.append((lines[0][len(result_prefix):], out))
+    return results

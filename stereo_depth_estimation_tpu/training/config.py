@@ -71,7 +71,8 @@ class TrainConfig:
     # same config skip the ~90-215 s per-process XLA recompile (this
     # platform's persistent-cache keys don't transfer across processes —
     # docs/PERF.md). "auto" = <output-dir>/.aot_cache; "off" disables;
-    # anything else is an explicit cache directory. Single-process only.
+    # anything else is an explicit cache directory. Multi-process runs use
+    # it only under the opt-in flag below.
     aot_cache: str = "auto"
     # Extend the AOT executable cache to MULTIHOST runs (opt-in): blobs are
     # keyed per (topology, process_id) so each process loads only the slice

@@ -182,21 +182,17 @@ _AOT_CHILD = textwrap.dedent(
 
 
 def _run_aot_farm(tmp_path: Path, tag: str, port: int) -> tuple[dict, dict]:
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _AOT_CHILD,
-             str(i), "2", str(port), str(tmp_path), tag],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, cwd=str(REPO),
-        )
-        for i in range(2)
-    ]
+    from stereo_depth_estimation_tpu.parallel.distributed import run_process_farm
+
+    farm = run_process_farm(
+        _AOT_CHILD,
+        lambda i: [str(i), "2", str(port), str(tmp_path), tag],
+        result_prefix="SUMMARY ",
+        cwd=str(REPO),
+    )
     summaries, outputs = {}, {}
-    for proc in procs:
-        out, _ = proc.communicate(timeout=600)
-        assert proc.returncode == 0, out[-4000:]
-        line = [ln for ln in out.splitlines() if ln.startswith("SUMMARY ")][0]
-        summary = json.loads(line[len("SUMMARY "):])
+    for line, out in farm:
+        summary = json.loads(line)
         summaries[summary.pop("pid")] = summary
         outputs[len(outputs)] = out
     return summaries, outputs
