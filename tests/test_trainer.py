@@ -285,6 +285,9 @@ def test_parse_args_boolean_options() -> None:
     cfg = parse_args(["--no-augment", "--require-cache"])
     assert cfg.augment is False
     assert cfg.require_cache is True
+    assert cfg.aot_cache_multihost is False  # multihost AOT cache is opt-in
+    cfg = parse_args(["--aot-cache-multihost"])
+    assert cfg.aot_cache_multihost is True
 
 
 def test_tracking_run_jsonl_backend(tmp_path: Path) -> None:
