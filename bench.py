@@ -327,13 +327,11 @@ def child_main() -> None:
         _log("fast-mode sub-measurement skipped: time budget exceeded")
 
     if not args.skip_streamed:
-        out.update(
-            bench_streamed_path(
-                result["state"], result["inner_step"], batch_size, hw,
-                n_samples,
-            )
-        )
-        _emit()
+        for section in bench_host_paths(
+            result["state"], result["inner_step"], batch_size, hw, n_samples
+        ):
+            out.update(section)
+            _emit()
 
 
 def measure_device_resident(
@@ -461,17 +459,19 @@ def measure_device_resident(
     }
 
 
-def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
-    """The PRODUCTION path users run with --packed-cache-root: a packed
-    memmap cache on host disk -> per-epoch shuffled batch gather ->
-    prefetch_to_device (background H2D) -> the same jitted step.
+def bench_host_paths(state, step, batch_size, hw, n_samples):
+    """The host-fed PRODUCTION paths, yielded as result sections in RISK
+    order so the caller can emit after each: the HBM-windowed modes first
+    (epoch-granularity host crossings; carries the windowed_pinned
+    production number), then the per-step streamed loop + H2D probe —
+    the phases where the platform's multi-minute RPC hangs land, last.
 
-    Measured separately from the device-resident number because it crosses
-    the host boundary every step; on this bench platform the device
-    transport is a network tunnel, so the gap between the two numbers is
-    dominated by tunnel bandwidth, not framework overhead (a locally
-    attached chip pays ~59 MB / PCIe-or-better per 128-batch; see
-    docs/PERF.md)."""
+    Streamed is measured separately from the device-resident number
+    because it crosses the host boundary every step; on this bench
+    platform the device transport is a network tunnel, so the gap between
+    the two numbers is dominated by tunnel bandwidth, not framework
+    overhead (a locally attached chip pays ~59 MB / PCIe-or-better per
+    128-batch; see docs/PERF.md)."""
     import shutil
     import tempfile
 
@@ -479,8 +479,8 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
     import jax.numpy as jnp
 
     if _time_left() < 180.0:
-        _log("streamed phases skipped: time budget exceeded")
-        return {}
+        _log("host-fed phases skipped: time budget exceeded")
+        return
 
     from stereo_depth_estimation_tpu.data.packed_cache import (
         PackedCache,
@@ -501,7 +501,16 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
             writer.add(img[..., :3], img[..., 3:], disp)
         writer.finalize()
         cache = PackedCache(tmpdir)
-        _log(f"streamed: packed cache written ({n_samples} samples)")
+        _log(f"host-fed: packed cache written ({n_samples} samples)")
+
+        # The train step donates its state argument, so buffers must be
+        # threaded through each section, never reused.
+        windowed, state = bench_windowed(state, step, cache, batch_size, n_samples)
+        yield windowed
+
+        if _time_left() < 120.0:
+            _log("streamed phase skipped: time budget exceeded")
+            return
 
         def epoch(ep: int):
             return prefetch_to_device(
@@ -532,8 +541,6 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
         rate = steps * batch_size / elapsed
         _log(f"streamed: {steps} steps in {elapsed:.1f}s = {rate:.1f} pairs/s")
 
-        windowed = bench_windowed(state, step, cache, batch_size, n_samples)
-
         # Raw H2D bandwidth probe: device_put of one batch payload, timed.
         # Makes the streamed-vs-resident gap self-explaining: the streamed
         # path ships ~78 MB/step, so when this probe reads single-digit
@@ -556,17 +563,16 @@ def bench_streamed_path(state, step, batch_size, hw, n_samples) -> dict:
         h2d_mbps = payload.nbytes / 1e6 / h2d_secs
         _log(f"streamed: H2D probe {h2d_mbps:.1f} MB/s "
              f"({payload.nbytes / 1e6:.0f} MB in {h2d_secs:.2f}s)")
-        return {
+        yield {
             "streamed_pairs_per_sec": round(rate, 1),
             "streamed_steps_measured": steps,
             "h2d_mb_per_sec": round(h2d_mbps, 1),
-            **windowed,
         }
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
-def bench_windowed(state, step, cache, batch_size, n_samples) -> dict:
+def bench_windowed(state, step, cache, batch_size, n_samples) -> tuple[dict, object]:
     """HBM-windowed production path (parallel/window.py), both regimes:
 
     - pinned: the whole packed set fits the HBM budget -> staged once,
@@ -625,7 +631,7 @@ def bench_windowed(state, step, cache, batch_size, n_samples) -> dict:
             f"({plan.num_windows} window(s) of {plan.window_samples})"
         )
         results[f"{label}_pairs_per_sec"] = round(rate, 1)
-    return results
+    return results, state
 
 
 if __name__ == "__main__":
