@@ -252,7 +252,7 @@ def make_train_step(
     )
     # Tag for the AOT disk cache: compiler options alter the executable
     # without changing the lowered text, so the digest reads this.
-    step._sde_compiler_options = options
+    step._sde_compiler_options = options  # type: ignore[attr-defined]
     return step
 
 
@@ -388,7 +388,7 @@ def make_device_data_train_step(
         # 472 MB payload ships inside the (remote) compile request
         # (observed: HTTP 413 from the compile service).
         fused = jax.jit(run_fused, donate_argnums=(0,), compiler_options=options)
-        fused._sde_compiler_options = options  # AOT-cache digest tag
+        fused._sde_compiler_options = options  # AOT-cache digest tag  # type: ignore[attr-defined]
 
         def run_wrapper(state: TrainState) -> tuple[TrainState, LossStats]:
             return fused(state, images_u8, targets)
