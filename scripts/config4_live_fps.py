@@ -13,6 +13,8 @@ Reported per frame (median over the measured frames, warmup discarded):
 
 - ``engine_ms``  — ``LiveDepthEngine.process``: H2D staging + the device
   program + fetching disparity/logvar/rectified views back,
+- ``device_ms``  — the device program alone (inputs pre-staged, outputs
+  blocked but not fetched): engine_ms - device_ms attributes the link,
 - ``readout_ms`` — host depth conversion + center-patch medians +
   confidence map (the HUD math),
 - ``decode_ms``  — optional: PNG decode when ``--from-files`` exercises
@@ -165,6 +167,25 @@ def main() -> None:
         readout.append(r)
     wall = time.perf_counter() - t_loop0
 
+    # Device-program-only split: same jitted program, inputs pre-staged on
+    # device, outputs blocked but NOT fetched. engine_ms - device_ms is the
+    # per-frame transfer cost of the link (H2D frames + D2H results) — on
+    # this repo's tunneled rig that transfer dominates, on a local PCIe/ICI
+    # attachment it is sub-ms (same attribution as the streamed-loop H2D
+    # probe in docs/PERF.md).
+    fl_dev = jax.device_put(jnp.asarray(frames[0][0][..., ::-1]))
+    fr_dev = jax.device_put(jnp.asarray(frames[0][1][..., ::-1]))
+    jax.block_until_ready(
+        engine._predict(engine.variables, fl_dev, fr_dev)
+    )
+    device_ms = []
+    for _ in range(args.frames):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            engine._predict(engine.variables, fl_dev, fr_dev)
+        )
+        device_ms.append((time.perf_counter() - t0) * 1e3)
+
     result = {
         "metric": "config4_live_frame_loop",
         "device": str(jax.devices()[0]),
@@ -176,6 +197,7 @@ def main() -> None:
         "frame_ms_mean": round(wall / args.frames * 1e3, 2),
         "frame_ms_median": round(float(np.median(frame_ms)), 2),
         "engine_ms_median": round(float(np.median(engine_ms)), 2),
+        "device_ms_median": round(float(np.median(device_ms)), 2),
         "readout_ms_median": round(float(np.median(readout)), 2),
         "decode_ms_median": (
             round(float(np.median(decode)), 2) if args.from_files else None

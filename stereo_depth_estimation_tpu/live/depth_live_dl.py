@@ -165,7 +165,15 @@ class LiveDepthEngine:
             )
 
     def _forward(self, variables, left_u8, right_u8, *, hw):
-        """left/right: (H, W, 3) uint8 RGB capture frames -> (disp, logvar) HW."""
+        """left/right: (H, W, 3) uint8 RGB capture frames -> (disp, logvar) HW.
+
+        The rectified model-space views come back as uint8: they exist only
+        for the display path (``_model_rgb_to_display_bgr`` truncated the
+        float views to uint8 on the host anyway), and float32 views were 4x
+        the D2H bytes — 1.84 MB of the ~4.3 MB per-frame transfer that
+        dominates the frame loop on transfer-limited links
+        (docs/live_fps_tpu.json: engine 247.9 of 249.2 ms/frame on this
+        rig's tunneled transport)."""
         left = left_u8.astype(jnp.float32) * (1.0 / 255.0)
         right = right_u8.astype(jnp.float32) * (1.0 / 255.0)
         if self.rectifier is not None:
@@ -179,7 +187,10 @@ class LiveDepthEngine:
         disp, logvar = self.model.apply(
             variables, x, train=False, return_uncertainty=True
         )
-        return disp[0, ..., 0], logvar[0, ..., 0], left, right
+        # Same truncation the host display path applied to the float views.
+        left_view = (jnp.clip(left, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        right_view = (jnp.clip(right, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return disp[0, ..., 0], logvar[0, ..., 0], left_view, right_view
 
     def load_checkpoint(self, checkpoint_path: Path) -> tuple[int, bool]:
         """(Re)load weights; returns (epoch, has_uncertainty_head)."""
@@ -207,7 +218,7 @@ class LiveDepthEngine:
     def process(
         self, frame_l_bgr: np.ndarray, frame_r_bgr: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """BGR frames -> (disparity HW, logvar HW, rect_left_rgb, rect_right_rgb)."""
+        """BGR frames -> (disparity HW, logvar HW, rect views as uint8 RGB)."""
         left_rgb = np.ascontiguousarray(frame_l_bgr[..., ::-1])
         right_rgb = np.ascontiguousarray(frame_r_bgr[..., ::-1])
         disp, logvar, left_m, right_m = self._predict(
@@ -535,10 +546,13 @@ def _json_float(value: float) -> float | None:
 
 
 def _model_rgb_to_display_bgr(model_rgb: np.ndarray, capture_hw) -> np.ndarray:
-    """(H,W,3) float RGB model-space view -> capture-size BGR uint8."""
+    """(H,W,3) RGB model-space view (uint8 or float) -> capture-size BGR uint8."""
     import cv2
 
-    u8 = (np.clip(model_rgb, 0.0, 1.0) * 255.0).astype(np.uint8)[..., ::-1]
+    if model_rgb.dtype == np.uint8:
+        u8 = model_rgb[..., ::-1]
+    else:
+        u8 = (np.clip(model_rgb, 0.0, 1.0) * 255.0).astype(np.uint8)[..., ::-1]
     return cv2.resize(
         u8, (capture_hw[1], capture_hw[0]), interpolation=cv2.INTER_LINEAR
     )

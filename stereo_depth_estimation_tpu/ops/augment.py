@@ -310,9 +310,22 @@ def noise_and_clip_stereo(
     distributionally identical to two independent (N,H,W,3) per-view draws
     (the reference augments views independently), but runs as ONE fused
     elementwise pass: the round-3 profile showed the per-view split/concat
-    epilogue costing ~3 ms/step in bad layouts (docs/PERF.md). Float32 math,
-    clamp to [0,1]; caller casts to its compute dtype."""
-    img = stereo.astype(jnp.float32)
+    epilogue costing ~3 ms/step in bad layouts (docs/PERF.md).
+
+    The normal draw uses the RBG hardware generator keyed from 4 threefry
+    words, in bfloat16: the threefry float32 draw was the ``fusion.114``
+    suboptimal op in the round-4 profile (2.25 ms/step at batch 128,
+    240x320 — RNG-throughput-bound, not bandwidth-bound), and the rbg+bf16
+    form measured 1.1 ms/step faster on the full train step
+    (docs/fusion114_lab.json). Parity-legal: RNG STREAMS differ from the
+    torch reference by construction (docs/PARITY.md); the noise
+    distribution is unchanged, and rbg draws are sharding-invariant on the
+    mesh (pinned by tests/test_augment.py::test_rbg_noise_is_sharding_
+    invariant). Arithmetic runs in the caller's compute dtype for bfloat16
+    inputs (noise std ~0.03 against values in [0,1] dwarfs bf16 rounding)
+    and float32 otherwise, clamped to [0,1]."""
+    dtype = stereo.dtype if stereo.dtype == jnp.bfloat16 else jnp.float32
+    img = stereo.astype(dtype)
     if enabled:
         std6 = jnp.concatenate(
             [
@@ -320,9 +333,12 @@ def noise_and_clip_stereo(
                 jnp.repeat(noise_std_right[:, None], 3, axis=1),
             ],
             axis=1,
+        ).astype(dtype)
+        rbg_key = jax.random.wrap_key_data(
+            jax.random.bits(key, (4,), jnp.uint32), impl="rbg"
         )
-        noise = jax.random.normal(key, img.shape, jnp.float32)
-        img = img + noise * std6[:, None, None, :]
+        noise = jax.random.normal(rbg_key, img.shape, jnp.bfloat16)
+        img = img + noise.astype(dtype) * std6[:, None, None, :]
     return jnp.clip(img, 0.0, 1.0)
 
 

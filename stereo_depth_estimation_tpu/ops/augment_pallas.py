@@ -258,9 +258,10 @@ def augment_stereo_batch_pallas(
 
     ``out_dtype=bfloat16`` (the train step's choice under bfloat16 compute)
     halves the chain's HBM write traffic; it only moves the network's own
-    input cast one op earlier — the pointwise math and the noise still run
-    in float32, with one extra bf16 rounding before the noise add (bounded
-    by tests/test_augment_pallas.py against the f32 chain).
+    input cast one op earlier — the pointwise math still runs in float32,
+    with one extra bf16 rounding before the noise add, and the noise
+    epilogue then runs in the output dtype (bounded by
+    tests/test_augment_pallas.py against the f32 chain).
     """
     n, h, w, _ = stereo_u8.shape
     k_factors, k_noise, _k_unused = jax.random.split(key, 3)

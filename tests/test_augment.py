@@ -220,3 +220,44 @@ def test_noise_and_clip_stereo_per_view_std() -> None:
     np.testing.assert_array_equal(
         np.asarray(out2), np.asarray(jnp.clip(stereo * 2.0, 0.0, 1.0))
     )
+
+
+def test_rbg_noise_is_sharding_invariant() -> None:
+    """The noise epilogue's RBG draw must produce the SAME values whether the
+    batch lives on one device or is sharded over the 8-device mesh: DP
+    training and single-device training see identical noise for a given key
+    (the property threefry guarantees by design and rbg must be pinned for;
+    jax docs only promise it per backend+program, so this is load-bearing)."""
+    import jax
+
+    from stereo_depth_estimation_tpu.ops.augment import noise_and_clip_stereo
+    from stereo_depth_estimation_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rng = np.random.default_rng(4)
+    stereo = jnp.asarray(rng.uniform(0, 1, (16, 8, 8, 6)).astype(np.float32))
+    std = jnp.full((16,), 0.05, jnp.float32)
+
+    single = np.asarray(
+        jax.jit(lambda k, x: noise_and_clip_stereo(k, x, std, std, True))(
+            jax.random.key(3), stereo
+        )
+    )
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+    @jax.jit
+    def sharded(k, x):
+        out = noise_and_clip_stereo(k, x, std, std, True)
+        return jax.lax.with_sharding_constraint(out, sharding)
+
+    multi = np.asarray(
+        jax.device_get(sharded(jax.random.key(3), jax.device_put(stereo, sharding)))
+    )
+    np.testing.assert_array_equal(single, multi)

@@ -19,19 +19,31 @@ from stereo_depth_estimation_tpu.ops.augment import (
 
 
 def test_full_chain_eager_equals_jit() -> None:
+    """Deterministic stages pinned exactly; the noise epilogue separately.
+
+    Noise runs at atol 1e-3, not 1e-5: the bf16 rbg draw's f32->bf16->f32
+    convert round-trip is elided by XLA's excess-precision pass under
+    fusion, so eager and jit legitimately differ at bf16-rounding x std
+    scale (~2e-4). The sector-select bug this file pins produced O(0.1)
+    garbage on ~0.5% of pixels — still far outside 1e-3."""
     x = jnp.asarray(
         np.random.default_rng(2).integers(0, 256, (4, 16, 16, 6), dtype=np.uint8)
     )
     _, state_rng = jax.random.split(jax.random.key(0))
     rng = jax.random.fold_in(state_rng, jnp.zeros((), jnp.int32))
-    cfg = AugmentConfig()
 
-    def aug(raw):
+    def aug(raw, cfg):
         return augment_stereo_batch(rng, raw.astype(jnp.float32) / 255.0, cfg)
 
-    eager = np.asarray(aug(x))
-    jitted = np.asarray(jax.jit(aug)(x))
+    exact_cfg = AugmentConfig(noise_std_max=0.0)
+    eager = np.asarray(aug(x, exact_cfg))
+    jitted = np.asarray(jax.jit(lambda r: aug(r, exact_cfg))(x))
     np.testing.assert_allclose(eager, jitted, atol=1e-5)
+
+    noisy_cfg = AugmentConfig()
+    eager = np.asarray(aug(x, noisy_cfg))
+    jitted = np.asarray(jax.jit(lambda r: aug(r, noisy_cfg))(x))
+    np.testing.assert_allclose(eager, jitted, atol=1e-3)
 
 
 def test_saturation_plus_hue_eager_equals_jit() -> None:
