@@ -136,6 +136,16 @@ def generate(
         for frame_i in range(per_scene):
             if written >= n_samples:
                 break
+            name_existing = f"{frame_i:06d}.png"
+            if all(
+                (base / sub / name_existing).exists()
+                for sub in ("left/rgb", "right/rgb", "left/disparity")
+            ):
+                # Frames are pure functions of (seed, scene, frame), so a
+                # partially generated tree (e.g. a timed-out run on a slow
+                # host) resumes exactly by skipping complete frames.
+                written += 1
+                continue
             rng = np.random.default_rng(
                 np.random.SeedSequence([seed, scene_i, frame_i])
             )
