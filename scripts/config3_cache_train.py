@@ -125,7 +125,10 @@ def main() -> None:
     # with the npz MISS cost this script exists to measure. Streaming
     # batches are pad-and-mask static shapes, so a few samples cover all
     # signatures.
-    warm_samples = min(args.samples, max(2 * args.batch_size, 24))
+    # One padded train batch + a tiny val split covers every program
+    # signature (streaming batches are pad-and-mask static shapes), and the
+    # warmup decodes its samples from source each run — keep it minimal.
+    warm_samples = min(args.samples, max(args.batch_size, 24))
     _log(f"warmup run ({warm_samples} samples, 1 epoch) to populate the "
          "AOT executable cache ...")
     train(make_cfg("warm", work / "npz_warmup", warm_samples, 1))
@@ -140,7 +143,10 @@ def main() -> None:
             import shutil
 
             shutil.rmtree(stale)
-    cfg = make_cfg("measured", cache_root, 0, args.epochs)
+    # Cap the measured run at --samples even when the source tree holds
+    # more (a larger tree can be left over from earlier generations): the
+    # reported train_samples arithmetic assumes exactly this many.
+    cfg = make_cfg("measured", cache_root, args.samples, args.epochs)
     cfg.mlflow_tracking_uri = f"jsonl://{trk}"
     _log(
         f"measured run: {args.height}x{args.width} batch={args.batch_size} "

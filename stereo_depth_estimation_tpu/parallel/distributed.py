@@ -88,7 +88,12 @@ class MultihostBatcher:
         fetch: Callable[[np.ndarray], dict[str, np.ndarray]],
         mesh: Mesh,
         axis_name: str = DATA_AXIS,
+        pad_to: int | None = None,
     ) -> None:
+        """``pad_to``: additionally pad every batch up to this size (rounded
+        up to the data-axis multiple), so the epoch's tail batch keeps the
+        one static shape and no second step program is compiled/AOT-banked
+        per tail shape (see parallel/mesh.py::pad_batch_to)."""
         from .mesh import SPATIAL_AXIS, batch_sharding
 
         self.fetch = fetch
@@ -99,6 +104,7 @@ class MultihostBatcher:
         self.sharding = batch_sharding(mesh, axis_name)
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
+        self.pad_to = pad_to
         if not self.spatial and self.n_data % self.process_count != 0:
             raise ValueError(
                 f"batch ('data') mesh axis of {self.n_data} does not divide "
@@ -108,10 +114,11 @@ class MultihostBatcher:
     def __call__(self, global_indices: np.ndarray) -> dict[str, jax.Array]:
         global_indices = np.asarray(global_indices)
         n = len(global_indices)
-        pad = (-n) % self.n_data
+        target_n = max(n, self.pad_to or 0)
+        target_n += (-target_n) % self.n_data
         # Modular tiling, not a slice: pad can exceed n (a 1-sample val
         # batch on an 8-device mesh pads by 7).
-        padded = global_indices[np.arange(n + pad) % n]
+        padded = global_indices[np.arange(target_n) % n]
         is_real = np.ones(len(padded), bool)
         is_real[n:] = False
         if self.spatial:

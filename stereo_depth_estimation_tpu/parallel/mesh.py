@@ -63,24 +63,13 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def pad_batch_for_mesh(
-    batch: dict[str, Any], n_devices: int
-) -> dict[str, Any]:
-    """Pad a {input, target[, valid_mask]} batch so the leading axis is a
-    multiple of ``n_devices``, without perturbing training math.
+def _pad_batch_rows(batch: dict[str, Any], pad: int) -> dict[str, Any]:
+    """Append ``pad`` wrap-around rows with ``valid_mask`` forced False.
 
-    Pad rows wrap around to real samples (so BatchNorm batch statistics see
-    plausible images, not zeros), while ``valid_mask`` is forced to False on
-    every padded row — the loss and all metric sums are masked reductions
-    (ops/loss.py), so padded rows contribute exactly nothing. The reference
-    never faces this (single device, any batch size — train.py:531-550); on a
-    mesh the batch axis must divide, and reference-default batch_size=30 on 8
-    devices would otherwise be unshardable.
-    """
+    Pad rows duplicate real samples (so BatchNorm batch statistics see
+    plausible images, not zeros), while the mask zeroes their contribution
+    to the loss and every metric sum (masked reductions, ops/loss.py)."""
     n = int(next(iter(batch.values())).shape[0])
-    pad = (-n) % n_devices
-    if pad == 0:
-        return batch
     idx = np.concatenate([np.arange(n), np.arange(pad) % n])
     target = np.asarray(batch["target"])[idx]
     mask = batch.get("valid_mask")
@@ -90,6 +79,50 @@ def pad_batch_for_mesh(
     out = {k: np.asarray(v)[idx] for k, v in batch.items() if k != "valid_mask"}
     out["valid_mask"] = mask
     return out
+
+
+def pad_batch_for_mesh(
+    batch: dict[str, Any], n_devices: int
+) -> dict[str, Any]:
+    """Pad a {input, target[, valid_mask]} batch so the leading axis is a
+    multiple of ``n_devices``, without perturbing training math.
+
+    The reference never faces this (single device, any batch size —
+    train.py:531-550); on a mesh the batch axis must divide, and
+    reference-default batch_size=30 on 8 devices would otherwise be
+    unshardable. See ``_pad_batch_rows`` for the wrap-and-mask semantics.
+    """
+    n = int(next(iter(batch.values())).shape[0])
+    pad = (-n) % n_devices
+    if pad == 0:
+        return batch
+    return _pad_batch_rows(batch, pad)
+
+
+def pad_batch_to(batch: dict[str, Any], batch_size: int) -> dict[str, Any]:
+    """Pad a batch's leading axis up to exactly ``batch_size``, and give
+    EVERY batch (padded or not) an explicit ``valid_mask``.
+
+    Static shapes AND static pytree structure are XLA requirements the
+    reference's DataLoader never met: its epoch tail is a smaller batch
+    (train.py:531-550, no drop_last), which under jit would compile and
+    AOT-cache a SECOND step program per distinct tail shape (measured:
+    220 s on the tunneled v5e at 480x640 — docs/PERF.md). Wrap-and-mask
+    padding keeps every batch at the one static shape, with the tail
+    rows' contribution to loss and metrics exactly zero (same scheme
+    ``pad_batch_for_mesh`` uses for indivisible mesh shards). Full
+    batches get ``valid_mask = target > 0`` — bit-identical to what the
+    step computes when the key is absent (train_step.py::_targets_and_mask)
+    — because a tail-only key would itself be a second pytree signature,
+    i.e. a second program.
+    """
+    n = int(next(iter(batch.values())).shape[0])
+    if n < batch_size:
+        return _pad_batch_rows(batch, batch_size - n)
+    if "valid_mask" not in batch:
+        batch = dict(batch)
+        batch["valid_mask"] = np.asarray(batch["target"]) > 0.0
+    return batch
 
 
 def shard_batch_to_mesh(

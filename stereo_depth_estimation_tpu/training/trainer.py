@@ -43,7 +43,12 @@ from ..parallel.distributed import (
     initialize_multihost,
     is_main_process,
 )
-from ..parallel.mesh import make_mesh, replicate_to_mesh, shard_batch_to_mesh
+from ..parallel.mesh import (
+    make_mesh,
+    pad_batch_to,
+    replicate_to_mesh,
+    shard_batch_to_mesh,
+)
 from ..parallel.window import HBMWindowLoader, default_hbm_budget_bytes
 from ..parallel.train_step import (
     TrainState,
@@ -473,13 +478,23 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
             val_data = _val_cache.load_all()
             val_imgs = jax.device_put(jnp.asarray(val_data["input"]))
             val_tgts = jax.device_put(jnp.asarray(val_data["target"]))
-            device_val_batches = [
-                {
-                    "input": val_imgs[i : i + cfg.batch_size],
-                    "target": val_tgts[i : i + cfg.batch_size],
-                }
-                for i in range(0, n_val, cfg.batch_size)
-            ]
+            # Tail batch padded to the static batch size (wrap rows, mask
+            # False) so eval compiles ONE program (see pad_batch_to).
+            device_val_batches = []
+            for i in range(0, n_val, cfg.batch_size):
+                idx = np.arange(i, min(i + cfg.batch_size, n_val))
+                pad = cfg.batch_size - len(idx)
+                real = np.ones(cfg.batch_size, bool)
+                if pad > 0:
+                    idx = np.concatenate([idx, np.arange(pad) % n_val])
+                    real[len(idx) - pad:] = False
+                tgts = val_tgts[idx]
+                device_val_batches.append({
+                    "input": val_imgs[idx],
+                    "target": tgts,
+                    "valid_mask": (tgts > 0.0)
+                    & jnp.asarray(real)[:, None, None],
+                })
 
     model = StereoUNet(
         in_channels=6,
@@ -600,15 +615,20 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
         # Each host decodes only its stripe of every global batch and the
         # global array is assembled device-side — batches leave
         # MultihostBatcher already sharded, so device placement is identity.
-        train_fetch = MultihostBatcher(train_fetch, mesh)
+        train_fetch = MultihostBatcher(train_fetch, mesh, pad_to=cfg.batch_size)
         if val_fetch is not None:
-            val_fetch = MultihostBatcher(val_fetch, mesh)
+            val_fetch = MultihostBatcher(val_fetch, mesh, pad_to=cfg.batch_size)
 
         def put(batch: Any) -> Any:
             return batch
     else:
         def put(batch: dict[str, np.ndarray]) -> Any:
-            return shard_batch_to_mesh(batch, mesh)
+            # pad_batch_to keeps the epoch-tail batch at the one static
+            # shape (one step program for the whole run — a distinct tail
+            # shape costs a full XLA compile and a second AOT blob;
+            # measured 220 s at 480x640 on the v5e, docs/PERF.md);
+            # shard_batch_to_mesh then rounds up to the device count.
+            return shard_batch_to_mesh(pad_batch_to(batch, cfg.batch_size), mesh)
 
     run: Any = (
         TrackingRun(cfg.mlflow_tracking_uri, cfg.mlflow_experiment, cfg.run_name)

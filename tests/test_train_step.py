@@ -254,6 +254,40 @@ def test_indivisible_batch_pads_and_masks_on_mesh() -> None:
     assert np.isfinite(float(tstats.nll_sum))
 
 
+def test_pad_batch_to_keeps_tail_batch_static_and_exact() -> None:
+    """The streamed epoch tail pads to the full static batch size (one step
+    program for the whole run — a distinct tail shape costs a full XLA
+    compile + a second AOT blob, measured 220 s at 480x640 on the v5e) with
+    masked metrics EXACTLY equal to the unpadded tail."""
+    from stereo_depth_estimation_tpu.parallel.mesh import pad_batch_to
+
+    rng = np.random.default_rng(11)
+    tail = _synthetic_batch(rng, 15)  # 87 % 24 = 15: config-3's real tail
+
+    padded = pad_batch_to(dict(tail), 24)
+    assert padded["input"].shape[0] == 24
+    assert padded["valid_mask"][15:].sum() == 0
+    np.testing.assert_array_equal(padded["input"][:15], tail["input"])
+    np.testing.assert_array_equal(padded["input"][15], tail["input"][0])
+    # Already-full batches keep their rows but STILL gain an explicit
+    # valid_mask (= target > 0, what the step computes when the key is
+    # absent): a tail-only key would be a second pytree signature, i.e.
+    # a second compiled program — the exact cost pad_batch_to removes.
+    full = _synthetic_batch(rng, 24)
+    full_out = pad_batch_to(dict(full), 24)
+    np.testing.assert_array_equal(full_out["input"], full["input"])
+    np.testing.assert_array_equal(full_out["valid_mask"], full["target"] > 0.0)
+
+    model, _tx, state = _tiny_setup()
+    eval_step = make_eval_step(model)
+    stats_raw = eval_step(state, {k: jnp.asarray(v) for k, v in tail.items()})
+    stats_pad = eval_step(state, {k: jnp.asarray(v) for k, v in padded.items()})
+    assert int(stats_pad.valid_count) == int(stats_raw.valid_count)
+    np.testing.assert_allclose(
+        float(stats_pad.nll_sum), float(stats_raw.nll_sum), rtol=1e-6
+    )
+
+
 def test_device_data_loop_matches_two_dispatch_variant() -> None:
     """The scanned K-step device-resident loop and the two-dispatch variant
     share the permutation/fold_in scheme, so K steps of each from the same

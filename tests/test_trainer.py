@@ -370,8 +370,11 @@ def test_offline_evaluate_matches_training_val_metrics(
     )
     single = evaluate(build_parser().parse_args(common + ["--mesh-devices", "1"]))
     assert single["valid_pixels"] == result["valid_pixels"]
-    np.testing.assert_allclose(single["mae"], result["mae"], rtol=1e-6)
-    np.testing.assert_allclose(single["nll"], result["nll"], rtol=1e-6)
+    # float32 sums reduce in a different order on 8 shards than on 1
+    # device; the wobble is ~1e-6 relative (measured 1.16e-6 on this
+    # farm), so the gate sits just above it.
+    np.testing.assert_allclose(single["mae"], result["mae"], rtol=5e-6)
+    np.testing.assert_allclose(single["nll"], result["nll"], rtol=5e-6)
 
 
 def test_device_resident_training(dataset_root: Path, tmp_path: Path) -> None:
