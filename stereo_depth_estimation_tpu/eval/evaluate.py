@@ -22,7 +22,12 @@ from ..data.pipeline import batch_iterator, loader_fetch, prefetch_to_device
 from ..data.samples import discover_samples, split_samples
 from ..models.unet import StereoUNet
 from ..ops.loss import LossStats, accumulate_stats, metrics_from_stats
-from ..parallel.mesh import make_mesh, replicate_to_mesh, shard_batch_to_mesh
+from ..parallel.mesh import (
+    make_mesh,
+    pad_batch_to,
+    replicate_to_mesh,
+    shard_batch_to_mesh,
+)
 from ..parallel.train_step import TrainState, make_eval_step
 from ..training.checkpoint import load_model_variables, resolve_checkpoint_path
 
@@ -117,8 +122,9 @@ def evaluate(args: argparse.Namespace) -> dict:
         from ..parallel.aot_cache import lazy_aot_wrap, resolve_aot_dir
 
         aot_dir = resolve_aot_dir(args.aot_cache, args.output_dir)
-        # Lowered against the first real sharded (state, batch); a
-        # different-shaped tail batch falls through to the jit.
+        # Lowered against the first real sharded (state, batch); tail
+        # batches are padded to the same static shape below, so this one
+        # executable serves the whole pass.
         eval_step = lazy_aot_wrap(
             eval_step, aot_dir, label="eval step", verbose=True
         )
@@ -133,7 +139,13 @@ def evaluate(args: argparse.Namespace) -> dict:
             loader_fetch(loader, num_workers=args.num_workers),
             len(loader), args.batch_size,
         ),
-        put=lambda batch: shard_batch_to_mesh(batch, mesh),
+        # pad_batch_to keeps the tail batch at the one static shape and
+        # pytree signature (a distinct tail shape is a second XLA compile
+        # + AOT blob — parallel/mesh.py::pad_batch_to); the masked sums
+        # are exact, so metrics are unchanged.
+        put=lambda batch: shard_batch_to_mesh(
+            pad_batch_to(batch, args.batch_size), mesh
+        ),
     )
     for batch in batches:
         total = accumulate_stats(total, eval_step(state, batch))
