@@ -377,6 +377,28 @@ def test_offline_evaluate_matches_training_val_metrics(
     np.testing.assert_allclose(single["nll"], result["nll"], rtol=5e-6)
 
 
+def test_streamed_run_compiles_one_train_and_one_eval_program(
+    dataset_root: Path, tmp_path: Path
+) -> None:
+    """A streamed run whose epoch does NOT divide by the batch size (9
+    train samples, batch 4 -> 4,4,1-tail; 3-sample val) must compile
+    exactly ONE train and ONE eval executable: pad_batch_to keeps every
+    batch at one static shape AND one pytree signature. Regression pin
+    for the 220 s-per-tail-shape recompile found driving BASELINE
+    config 3 on the v5e (docs/PERF.md 'epoch-tail batches')."""
+    cfg = _config(
+        tmp_path, dataset_root=str(dataset_root / "data"),
+        epochs=2, preview_samples=0,
+        aot_cache=str(tmp_path / "aot"),
+    )
+    summary = train(cfg)
+    assert np.isfinite(summary["best_val_mae"])
+    blobs = sorted(p.name for p in (tmp_path / "aot").glob("aot_*.bin"))
+    assert len(blobs) == 2, (
+        f"expected exactly one train + one eval executable, got {blobs}"
+    )
+
+
 def test_device_resident_training(dataset_root: Path, tmp_path: Path) -> None:
     """--device-resident stages the packed cache into device memory and
     trains fully on-device; checkpoints/metrics flow as usual."""
