@@ -97,8 +97,25 @@ def main() -> None:
     work = args.workdir
     data = work / "data"
     src_hw = (args.src_height, args.src_width)
-    if not (data / "synth_meta.json").exists():
-        _log(f"generating {args.samples} source samples at {src_hw} ...")
+    meta_path = data / "synth_meta.json"
+    have = 0
+    if meta_path.exists():
+        prior = json.loads(meta_path.read_text())
+        if (prior["height"], prior["width"]) != src_hw:
+            raise SystemExit(
+                f"existing dataset at {data} was generated at "
+                f"{prior['height']}x{prior['width']}, not {src_hw}; "
+                "point --workdir elsewhere or delete it"
+            )
+        have = int(prior.get("samples", 0))
+    if have < args.samples:
+        # generate() is resumable (frames are pure functions of
+        # (seed, scene, frame)), so a smaller leftover tree extends
+        # in place instead of silently under-measuring: the reported
+        # samples/train_samples/pairs-per-sec arithmetic below assumes
+        # exactly --samples exist.
+        _log(f"generating {args.samples} source samples at {src_hw} "
+             f"(found {have}) ...")
         meta = generate(data, args.samples, 8, src_hw, 96.0, seed=0)
         _log(f"dataset ready in {meta['elapsed_seconds']}s")
 

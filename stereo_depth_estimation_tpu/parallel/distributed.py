@@ -126,10 +126,18 @@ class MultihostBatcher:
 
         stripe = len(padded) // self.process_count
         lo = self.process_index * stripe
-        local = self.fetch(padded[lo : lo + stripe])
-        target = np.asarray(local["target"])
-        mask = (target > 0.0) & is_real[lo : lo + stripe, None, None]
-        local = {**local, "valid_mask": mask}
+        # Pad rows wrap to real sample ids, so a tail batch's stripe holds
+        # duplicates: fetch each distinct sample ONCE (a fetch is a PNG
+        # decode + resize on the miss path) and duplicate the decoded rows
+        # in memory.
+        unique, inverse = np.unique(padded[lo : lo + stripe], return_inverse=True)
+        fetched = self.fetch(unique)
+        local = {k: np.asarray(v)[inverse] for k, v in fetched.items()}
+        # Rank-1 per-row flags (the cheap wire format — B bools instead of
+        # B*H*W; see mesh._pad_batch_rows): the step ANDs them with its
+        # own on-device target > 0. The 1-D data mesh here shards rank-1
+        # arrays with the same P('data') spec as the batched ones.
+        local["valid_mask"] = is_real[lo : lo + stripe]
 
         global_n = len(padded)
         return {
@@ -162,7 +170,14 @@ class MultihostBatcher:
             self.mesh, self.axis_name, global_n
         )
 
-        local = self.fetch(padded[rows])
+        # Dedup exactly like the stripe branch: wrap-around pad rows must
+        # not cost a second decode.
+        unique, inverse = np.unique(padded[rows], return_inverse=True)
+        fetched = self.fetch(unique)
+        local = {k: np.asarray(v)[inverse] for k, v in fetched.items()}
+        # Full-rank mask here (unlike the stripe branch's rank-1 flags):
+        # assemble_row_blocks slices every key with the one (data, spatial)
+        # sharding, and a rank-1 array cannot carry the spatial axis.
         target = np.asarray(local["target"])
         mask = (target > 0.0) & is_real[rows, None, None]
         local = {**local, "valid_mask": mask}

@@ -68,13 +68,21 @@ def _pad_batch_rows(batch: dict[str, Any], pad: int) -> dict[str, Any]:
 
     Pad rows duplicate real samples (so BatchNorm batch statistics see
     plausible images, not zeros), while the mask zeroes their contribution
-    to the loss and every metric sum (masked reductions, ops/loss.py)."""
+    to the loss and every metric sum (masked reductions, ops/loss.py).
+
+    When the incoming batch carries no mask, the emitted one is RANK-1
+    per-row flags: the step broadcasts it against its own on-device
+    ``target > 0`` (train_step.py::_targets_and_mask), so the host ships
+    B bools instead of B*H*W (a full bool mask is ~17% extra H2D at
+    480x640 batch 24 on the measured 36 MB/s tunneled link). An incoming
+    mask of any rank is index-padded with the new rows forced False."""
     n = int(next(iter(batch.values())).shape[0])
     idx = np.concatenate([np.arange(n), np.arange(pad) % n])
-    target = np.asarray(batch["target"])[idx]
     mask = batch.get("valid_mask")
-    mask = (target > 0.0) if mask is None else np.asarray(mask)[idx]
-    mask = mask.copy()
+    if mask is None:
+        mask = np.ones(len(idx), bool)
+    else:
+        mask = np.asarray(mask)[idx].copy()
     mask[n:] = False
     out = {k: np.asarray(v)[idx] for k, v in batch.items() if k != "valid_mask"}
     out["valid_mask"] = mask
@@ -111,17 +119,24 @@ def pad_batch_to(batch: dict[str, Any], batch_size: int) -> dict[str, Any]:
     padding keeps every batch at the one static shape, with the tail
     rows' contribution to loss and metrics exactly zero (same scheme
     ``pad_batch_for_mesh`` uses for indivisible mesh shards). Full
-    batches get ``valid_mask = target > 0`` — bit-identical to what the
-    step computes when the key is absent (train_step.py::_targets_and_mask)
-    — because a tail-only key would itself be a second pytree signature,
-    i.e. a second program.
+    batches get a rank-1 all-True row mask (the step ANDs it with its
+    own on-device ``target > 0`` — train_step.py::_targets_and_mask, so
+    the math is identical to having no key at all) — because a tail-only
+    key would itself be a second pytree signature, i.e. a second program.
     """
     n = int(next(iter(batch.values())).shape[0])
+    if n > batch_size:
+        # Silently passing an oversize batch through would quietly
+        # recompile — the exact ~220 s cost this function exists to
+        # prevent. Fail loudly instead.
+        raise ValueError(
+            f"batch of {n} rows exceeds the static batch_size={batch_size}"
+        )
     if n < batch_size:
         return _pad_batch_rows(batch, batch_size - n)
     if "valid_mask" not in batch:
         batch = dict(batch)
-        batch["valid_mask"] = np.asarray(batch["target"]) > 0.0
+        batch["valid_mask"] = np.ones(n, bool)
     return batch
 
 
@@ -137,7 +152,14 @@ def shard_batch_to_mesh(
     if pad and n_data > 1 and isinstance(batch, dict) and "target" in batch:
         batch = pad_batch_for_mesh(batch, n_data)
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    # Rank-1 leaves (the per-row valid_mask) shard over the data axis
+    # only — the batched NHW[C] sharding may also name a spatial axis,
+    # which a 1-D array cannot carry.
+    rows = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding if np.ndim(x) >= 2 else rows),
+        batch,
+    )
 
 
 def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:

@@ -127,6 +127,12 @@ def _targets_and_mask(
     mask = batch.get("valid_mask")
     if mask is None:
         mask = target > 0.0
+    elif mask.ndim == 1:
+        # Rank-1 per-ROW flags — the padding scheme's cheap wire format
+        # (parallel/mesh.py::_pad_batch_rows ships B bools, not B*H*W):
+        # rows flagged False are wrap-around padding; combine with the
+        # on-device validity rule so the math matches a full mask exactly.
+        mask = (target > 0.0) & mask[:, None, None]
     return target, mask
 
 

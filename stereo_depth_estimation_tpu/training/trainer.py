@@ -479,21 +479,21 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
             val_imgs = jax.device_put(jnp.asarray(val_data["input"]))
             val_tgts = jax.device_put(jnp.asarray(val_data["target"]))
             # Tail batch padded to the static batch size (wrap rows, mask
-            # False) so eval compiles ONE program (see pad_batch_to).
+            # False) so eval compiles ONE program (see pad_batch_to). The
+            # mask is rank-1 row flags; the eval step ANDs it with its own
+            # on-device target > 0 (train_step._targets_and_mask).
             device_val_batches = []
             for i in range(0, n_val, cfg.batch_size):
                 idx = np.arange(i, min(i + cfg.batch_size, n_val))
-                pad = cfg.batch_size - len(idx)
                 real = np.ones(cfg.batch_size, bool)
+                pad = cfg.batch_size - len(idx)
                 if pad > 0:
                     idx = np.concatenate([idx, np.arange(pad) % n_val])
-                    real[len(idx) - pad:] = False
-                tgts = val_tgts[idx]
+                    real[cfg.batch_size - pad:] = False
                 device_val_batches.append({
                     "input": val_imgs[idx],
-                    "target": tgts,
-                    "valid_mask": (tgts > 0.0)
-                    & jnp.asarray(real)[:, None, None],
+                    "target": val_tgts[idx],
+                    "valid_mask": jnp.asarray(real),
                 })
 
     model = StereoUNet(
@@ -589,9 +589,10 @@ def train(cfg: TrainConfig) -> dict[str, Any]:
     ):
         # Executable disk cache (parallel/aot_cache.py): repeat runs of the
         # same config skip the ~90-215 s per-process XLA recompile. Lazily
-        # lowered against the first real (state, batch), so shapes/shardings
-        # are exactly the production ones; off-aval calls (e.g. a short
-        # validation tail batch) fall through to the normal jit.
+        # lowered against the first real (state, batch), and every batch is
+        # padded to that one shape/signature (pad_batch_to), so a single
+        # executable serves the run; a genuinely off-aval call would fall
+        # through to the normal jit.
         # Multihost is OPT-IN (--aot-cache-multihost): blobs are keyed per
         # (topology, process_id) inside aot_cache._digest, so a process can
         # only load the slice compiled for its own position — measured safe

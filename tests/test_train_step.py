@@ -270,13 +270,17 @@ def test_pad_batch_to_keeps_tail_batch_static_and_exact() -> None:
     np.testing.assert_array_equal(padded["input"][:15], tail["input"])
     np.testing.assert_array_equal(padded["input"][15], tail["input"][0])
     # Already-full batches keep their rows but STILL gain an explicit
-    # valid_mask (= target > 0, what the step computes when the key is
-    # absent): a tail-only key would be a second pytree signature, i.e.
-    # a second compiled program — the exact cost pad_batch_to removes.
+    # valid_mask (rank-1 all-True row flags; the step ANDs them with its
+    # on-device target > 0, so the math equals having no key at all): a
+    # tail-only key would be a second pytree signature, i.e. a second
+    # compiled program — the exact cost pad_batch_to removes.
     full = _synthetic_batch(rng, 24)
     full_out = pad_batch_to(dict(full), 24)
     np.testing.assert_array_equal(full_out["input"], full["input"])
-    np.testing.assert_array_equal(full_out["valid_mask"], full["target"] > 0.0)
+    assert full_out["valid_mask"].shape == (24,) and full_out["valid_mask"].all()
+    # Oversize batches fail loudly instead of silently recompiling.
+    with pytest.raises(ValueError, match="exceeds"):
+        pad_batch_to(_synthetic_batch(rng, 25), 24)
 
     model, _tx, state = _tiny_setup()
     eval_step = make_eval_step(model)
