@@ -431,8 +431,13 @@ def measure_device_resident(
     window_steps = 32
     window_rates: list[float] = []
     # First window discarded: on this platform the first post-compile
-    # measurement can read 3-5x slow (server-side warmup).
-    for window in range(5):
+    # measurement can read 3-5x slow (server-side warmup). 8 measured
+    # windows (~34 s at the headline config): a 4-window median was
+    # hostage to a single contention burst spanning two windows
+    # (observed 878/859/979/979 -> median 929 for the same executable
+    # that medians 979 in calm sessions); 8 windows keep the median on
+    # the steady rate unless the burst covers half the run.
+    for window in range(9):
         start = time.perf_counter()
         for _i in range(window_steps):
             state, stats = step(state)
